@@ -1,0 +1,199 @@
+"""Golden tests of the pure ops against torch-CPU reference semantics.
+
+torch is used ONLY as a test oracle (the reference implementation's backend);
+the library itself never imports it.
+"""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+torch = pytest.importorskip("torch")
+import torch.nn.functional as F  # noqa: E402
+
+from unsupervised_depth_opticalflow_egomotion_tpu import ops  # noqa: E402
+
+RNG = np.random.RandomState(0)
+
+
+def to_nchw(x):
+    return np.transpose(x, (0, 3, 1, 2))
+
+
+def to_nhwc(x):
+    return np.transpose(x, (0, 2, 3, 1))
+
+
+class TestResize:
+    def test_bilinear_matches_torch(self):
+        x = RNG.rand(2, 16, 24, 3).astype(np.float32)
+        got = np.asarray(ops.resize_bilinear(jnp.asarray(x), (8, 12)))
+        want = F.interpolate(
+            torch.from_numpy(to_nchw(x)), (8, 12), mode="bilinear", align_corners=False
+        ).numpy()
+        np.testing.assert_allclose(got, to_nhwc(want), atol=1e-5)
+
+    def test_bilinear_upsample_matches_torch(self):
+        x = RNG.rand(1, 8, 13, 2).astype(np.float32)
+        got = np.asarray(ops.upsample2x_bilinear(jnp.asarray(x)))
+        want = F.interpolate(
+            torch.from_numpy(to_nchw(x)), scale_factor=2.0, mode="bilinear", align_corners=False
+        ).numpy()
+        np.testing.assert_allclose(got, to_nhwc(want), atol=1e-5)
+
+    def test_area_matches_torch(self):
+        x = RNG.rand(2, 16, 24, 3).astype(np.float32)
+        got = np.asarray(ops.resize_area(jnp.asarray(x), (4, 6)))
+        want = F.interpolate(torch.from_numpy(to_nchw(x)), (4, 6), mode="area").numpy()
+        np.testing.assert_allclose(got, to_nhwc(want), atol=1e-5)
+
+
+class TestGridSample:
+    def test_matches_torch_align_corners_true(self):
+        img = RNG.rand(2, 10, 14, 3).astype(np.float32)
+        coords = (RNG.rand(2, 10, 14, 2).astype(np.float32) * 2.6 - 1.3)
+        got = np.asarray(ops.grid_sample(jnp.asarray(img), jnp.asarray(coords)))
+        want = F.grid_sample(
+            torch.from_numpy(to_nchw(img)),
+            torch.from_numpy(coords),
+            mode="bilinear",
+            padding_mode="zeros",
+            align_corners=True,
+        ).numpy()
+        np.testing.assert_allclose(got, to_nhwc(want), atol=1e-5)
+
+    def test_warp_flow_matches_reference_semantics(self):
+        # Integer-shift flow on a ramp image: warped(x) = img(x + 3).
+        img = np.tile(np.arange(10, dtype=np.float32)[None, None, :, None], (1, 10, 1, 1))
+        flow = np.zeros((1, 10, 10, 2), np.float32)
+        flow[..., 0] = 3.0
+        got = np.asarray(ops.warp_flow(jnp.asarray(img), jnp.asarray(flow)))
+        np.testing.assert_allclose(got[0, :, :6, 0], img[0, :, 3:9, 0], atol=1e-5)
+        # Out of range samples -> 0 under zeros padding.
+        assert np.all(got[0, :, 8:, 0] == 0)
+
+    def test_warp_flow_mask(self):
+        img = RNG.rand(1, 8, 8, 3).astype(np.float32)
+        flow = np.zeros((1, 8, 8, 2), np.float32)
+        flow[..., 0] = 20.0  # everything out of range
+        got = np.asarray(ops.warp_flow(jnp.asarray(img), jnp.asarray(flow), use_mask=True))
+        assert np.all(got == 0)
+
+
+class TestSSIM:
+    def test_matches_torch_reference(self):
+        x = RNG.rand(2, 12, 16, 3).astype(np.float32)
+        y = RNG.rand(2, 12, 16, 3).astype(np.float32)
+        got = np.asarray(ops.ssim(jnp.asarray(x), jnp.asarray(y)))
+
+        tx, ty = torch.from_numpy(to_nchw(x)), torch.from_numpy(to_nchw(y))
+        pool = torch.nn.AvgPool2d(3, 1, padding=1)
+        mu_x, mu_y = pool(tx), pool(ty)
+        sigma_x = pool(tx**2) - mu_x**2
+        sigma_y = pool(ty**2) - mu_y**2
+        sigma_xy = pool(tx * ty) - mu_x * mu_y
+        C1, C2 = 0.01**2, 0.03**2
+        want = ((2 * mu_x * mu_y + C1) * (2 * sigma_xy + C2)) / (
+            (mu_x**2 + mu_y**2 + C1) * (sigma_x + sigma_y + C2)
+        )
+        np.testing.assert_allclose(got, to_nhwc(want.numpy()), atol=1e-4)
+
+
+class TestCorrelation:
+    def test_matches_naive_torch(self):
+        f1 = RNG.rand(2, 6, 9, 8).astype(np.float32)
+        f2 = RNG.rand(2, 6, 9, 8).astype(np.float32)
+        d = 2
+        got = np.asarray(ops.correlation(jnp.asarray(f1), jnp.asarray(f2), md=d))
+
+        t1, t2 = torch.from_numpy(to_nchw(f1)), torch.from_numpy(to_nchw(f2))
+        t2p = F.pad(t2, (d, d, d, d), value=0)
+        H, W = t1.shape[2], t1.shape[3]
+        cv = []
+        for i in range(2 * d + 1):
+            for j in range(2 * d + 1):
+                cv.append((t1 * t2p[:, :, i : i + H, j : j + W]).mean(1, keepdim=True))
+        want = torch.cat(cv, 1).numpy()
+        np.testing.assert_allclose(got, to_nhwc(want), atol=1e-5)
+
+
+class TestGeometry:
+    def test_euler2mat_identity_and_known(self):
+        angles = np.zeros((1, 3), np.float32)
+        R = np.asarray(ops.euler2mat(jnp.asarray(angles)))
+        np.testing.assert_allclose(R[0], np.eye(3), atol=1e-6)
+
+        # 90 deg about z
+        angles = np.array([[0, 0, np.pi / 2]], np.float32)
+        R = np.asarray(ops.euler2mat(jnp.asarray(angles)))
+        want = np.array([[0, -1, 0], [1, 0, 0], [0, 0, 1]], np.float32)
+        np.testing.assert_allclose(R[0], want, atol=1e-6)
+
+    def test_rotation_composition_order(self):
+        # R = Rx @ Ry @ Rz (inverse_warp.py:144)
+        a = RNG.rand(4, 3).astype(np.float32) * 0.5
+        R = np.asarray(ops.euler2mat(jnp.asarray(a)))
+
+        def rx(t):
+            c, s = np.cos(t), np.sin(t)
+            return np.array([[1, 0, 0], [0, c, -s], [0, s, c]])
+
+        def ry(t):
+            c, s = np.cos(t), np.sin(t)
+            return np.array([[c, 0, s], [0, 1, 0], [-s, 0, c]])
+
+        def rz(t):
+            c, s = np.cos(t), np.sin(t)
+            return np.array([[c, -s, 0], [s, c, 0], [0, 0, 1]])
+
+        for i in range(4):
+            want = rx(a[i, 0]) @ ry(a[i, 1]) @ rz(a[i, 2])
+            np.testing.assert_allclose(R[i], want, atol=1e-5)
+
+    def test_inverse_warp2_identity_pose(self):
+        # With identity pose and matching depths, the warp is the identity and
+        # every pixel is valid; computed depth equals the input depth.
+        b, h, w = 1, 16, 20
+        img = RNG.rand(b, h, w, 3).astype(np.float32)
+        depth = np.full((b, h, w, 1), 2.0, np.float32)
+        pose = np.zeros((b, 6), np.float32)
+        K = np.array([[[20.0, 0, w / 2], [0, 20.0, h / 2], [0, 0, 1]]], np.float32)
+        proj_img, valid, proj_depth, comp_depth = ops.inverse_warp2(
+            jnp.asarray(img), jnp.asarray(depth), jnp.asarray(depth), jnp.asarray(pose), jnp.asarray(K)
+        )
+        np.testing.assert_allclose(np.asarray(proj_img), img, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(valid), 1.0)
+        np.testing.assert_allclose(np.asarray(comp_depth), 2.0, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(proj_depth), 2.0, atol=1e-4)
+
+    def test_rigid_flow_pure_translation(self):
+        # Pure x-translation: flow_x = -fx * tx / Z... with pose t=[tx,0,0]
+        # projected x = fx*(X + tx)/Z + cx => flow = fx*tx/Z.
+        b, h, w = 1, 8, 8
+        depth = np.full((b, h, w, 1), 4.0, np.float32)
+        pose = np.zeros((b, 6), np.float32)
+        pose[0, 0] = 0.4  # tx
+        fx = 10.0
+        K = np.array([[[fx, 0, w / 2], [0, fx, h / 2], [0, 0, 1]]], np.float32)
+        flow = np.asarray(ops.calculate_rigid_flow(jnp.asarray(depth), jnp.asarray(pose), jnp.asarray(K)))
+        np.testing.assert_allclose(flow[..., 0], fx * 0.4 / 4.0, atol=1e-5)
+        np.testing.assert_allclose(flow[..., 1], 0.0, atol=1e-5)
+
+    def test_essential_matrix_epipolar_constraint(self):
+        # x2^T E x1 = 0 for corresponding normalized points.
+        pose = np.array([[0.1, -0.2, 0.05, 0.01, 0.02, -0.03]], np.float32)
+        E = np.asarray(ops.essential_matrix(jnp.asarray(pose)))[0]
+        R = np.asarray(ops.euler2mat(jnp.asarray(pose[:, 3:])))[0]
+        t = pose[0, :3]
+        # Random 3D point in target frame; project in both cameras.
+        X1 = np.array([0.3, -0.2, 2.0])
+        X2 = R @ X1 + t
+        x1 = X1 / X1[2]
+        x2 = X2 / X2[2]
+        assert abs(x2 @ E @ x1) < 1e-5
+
+    def test_disp2depth_bounds(self):
+        disp = jnp.asarray(np.array([[[[0.0]]], [[[1.0]]]], np.float32))
+        depth = np.asarray(ops.disp2depth(disp))
+        np.testing.assert_allclose(depth.max(), 100.0, atol=1e-4)
+        np.testing.assert_allclose(depth.min(), 0.1, atol=1e-4)

@@ -1,0 +1,71 @@
+"""Resize primitives with the exact sampling semantics the loss graph depends on.
+
+The reference pipeline mixes two resize conventions (see
+/root/reference/core/networks/model_geometry.py:65-72 and
+/root/reference/core/networks/structures/depth_model.py:128-133):
+
+- ``resize_bilinear``: half-pixel-centred bilinear without antialiasing
+  (torch ``F.interpolate(mode='bilinear', align_corners=False)``).
+- ``resize_area``: adaptive average pooling (torch ``mode='area'``); for the
+  pyramid ratios used here (powers of two of a /64-divisible input) this is an
+  exact k x k block mean, which we implement with a reduce_window so XLA lowers
+  it to a fused VPU reduction instead of a gather.
+
+All tensors are NHWC.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def resize_bilinear(x: jax.Array, hw: tuple[int, int]) -> jax.Array:
+    """Bilinear resize (align_corners=False, no antialias) on NHWC tensors."""
+    b, h, w, c = x.shape
+    nh, nw = int(hw[0]), int(hw[1])
+    if (nh, nw) == (h, w):
+        return x
+    return jax.image.resize(x, (b, nh, nw, c), method="linear", antialias=False)
+
+
+def resize_area(x: jax.Array, hw: tuple[int, int]) -> jax.Array:
+    """Area (adaptive-average) downsample on NHWC tensors.
+
+    Exact for integer downscale factors; falls back to bilinear+antialias for
+    non-integer ratios (not used by the standard KITTI configs).
+    """
+    b, h, w, c = x.shape
+    nh, nw = int(hw[0]), int(hw[1])
+    if (nh, nw) == (h, w):
+        return x
+    if h % nh == 0 and w % nw == 0:
+        kh, kw = h // nh, w // nw
+        summed = jax.lax.reduce_window(
+            x,
+            jnp.zeros((), x.dtype),
+            jax.lax.add,
+            window_dimensions=(1, kh, kw, 1),
+            window_strides=(1, kh, kw, 1),
+            padding="VALID",
+        )
+        return summed / jnp.asarray(kh * kw, x.dtype)
+    return jax.image.resize(x, (b, nh, nw, c), method="linear", antialias=True)
+
+
+def upsample2x_bilinear(x: jax.Array) -> jax.Array:
+    """x2 bilinear upsample (align_corners=False), used between PWC levels."""
+    b, h, w, c = x.shape
+    return jax.image.resize(x, (b, 2 * h, 2 * w, c), method="linear", antialias=False)
+
+
+def image_pyramid(img: jax.Array, num_scales: int, mode: str = "bilinear") -> list[jax.Array]:
+    """Multi-scale pyramid [full, 1/2, 1/4, ...] of an NHWC image.
+
+    ``mode='bilinear'`` mirrors the geometry/depth models' pyramid
+    (model_geometry.py:65-72); ``mode='area'`` mirrors the flow model's
+    (model_flow.py:58-64).
+    """
+    h, w = img.shape[1], img.shape[2]
+    fn = resize_bilinear if mode == "bilinear" else resize_area
+    return [fn(img, (h // (2**s), w // (2**s))) for s in range(num_scales)]

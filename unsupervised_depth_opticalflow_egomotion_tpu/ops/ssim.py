@@ -1,0 +1,38 @@
+"""SSIM over 3x3 mean windows (NHWC).
+
+Matches /root/reference/core/networks/pytorch_ssim/ssim.py: 3x3 average-pool
+statistics with stride 1 and zero padding 1 (torch AvgPool2d counts the padded
+zeros in the divisor, so border windows are averaged over 9 taps regardless --
+we reproduce that with a constant 1/9 divisor), C1=0.01^2, C2=0.03^2.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def _avg3x3(x: jax.Array) -> jax.Array:
+    summed = jax.lax.reduce_window(
+        x,
+        jnp.zeros((), x.dtype),
+        jax.lax.add,
+        window_dimensions=(1, 3, 3, 1),
+        window_strides=(1, 1, 1, 1),
+        padding=((0, 0), (1, 1), (1, 1), (0, 0)),
+    )
+    return summed / jnp.asarray(9.0, x.dtype)
+
+
+def ssim(x: jax.Array, y: jax.Array) -> jax.Array:
+    """Per-pixel SSIM map of two NHWC images."""
+    c1 = 0.01**2
+    c2 = 0.03**2
+    mu_x = _avg3x3(x)
+    mu_y = _avg3x3(y)
+    sigma_x = _avg3x3(x * x) - mu_x * mu_x
+    sigma_y = _avg3x3(y * y) - mu_y * mu_y
+    sigma_xy = _avg3x3(x * y) - mu_x * mu_y
+    num = (2 * mu_x * mu_y + c1) * (2 * sigma_xy + c2)
+    den = (mu_x * mu_x + mu_y * mu_y + c1) * (sigma_x + sigma_y + c2)
+    return num / den
