@@ -1,0 +1,79 @@
+#!/usr/bin/env python
+"""Benchmark: joint depth+flow+pose forward+backward frames/sec/chip.
+
+Measures the flagship geom-mode train step (batch 8, 256x832, bf16 compute --
+the reference's training configuration, /root/reference/config/kitti_geom.yaml:17,50)
+on the attached TPU chip and prints ONE JSON line.
+
+``vs_baseline`` compares frames/sec/chip against an estimated 40 fps for the
+reference PyTorch implementation on A100 (the reference publishes no speed
+numbers; 40 fps ~= 5 steps/s at batch 8 for a naive-correlation PWC + 3x
+ResNet18 fwd+bwd at 256x832). The driver's north star is 5x that, i.e.
+vs_baseline >= 5.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+BASELINE_A100_FPS = 40.0
+
+
+def main():
+    import jax
+
+    from unsupervised_depth_opticalflow_egomotion_tpu.config import Config
+    from unsupervised_depth_opticalflow_egomotion_tpu.parallel import (
+        init_state,
+        make_optimizer,
+        make_train_step,
+    )
+
+    batch_size = 8
+    h, w = 256, 832
+    cfg = Config(img_hw=(h, w), mode="geom", compute_dtype="bfloat16", batch_size=batch_size)
+
+    model, state = init_state(cfg, jax.random.PRNGKey(0))
+    tx = make_optimizer(cfg, state.params)
+    step_fn = make_train_step(model, cfg, tx)
+
+    rng = np.random.RandomState(0)
+    images = jax.numpy.asarray(rng.rand(batch_size, 3 * h, w, 3).astype(np.float32))
+    K = np.array([[241.0, 0, w / 2], [0, 245.0, h / 2], [0, 0, 1]], np.float32)
+    K_ms = np.stack([np.diag([1 / 2**s, 1 / 2**s, 1.0]).astype(np.float32) @ K for s in range(3)])
+    K_inv_ms = np.stack([np.linalg.inv(k) for k in K_ms])
+    batch = (
+        images,
+        jax.numpy.asarray(np.tile(K_ms[None], (batch_size, 1, 1, 1))),
+        jax.numpy.asarray(np.tile(K_inv_ms[None], (batch_size, 1, 1, 1))),
+    )
+
+    key = jax.random.PRNGKey(1)
+    # warmup / compile
+    state, metrics = step_fn(state, batch, key)
+    jax.block_until_ready(metrics["loss_total"])
+
+    iters = 20
+    t0 = time.perf_counter()
+    for i in range(iters):
+        key, sub = jax.random.split(key)
+        state, metrics = step_fn(state, batch, sub)
+    jax.block_until_ready(metrics["loss_total"])
+    dt = time.perf_counter() - t0
+
+    steps_per_s = iters / dt
+    fps_per_chip = steps_per_s * batch_size / max(1, jax.local_device_count())
+    result = {
+        "metric": "frames/sec/chip joint depth+flow+pose fwd-bwd (b8 256x832 bf16)",
+        "value": round(fps_per_chip, 2),
+        "unit": "frames/s/chip",
+        "vs_baseline": round(fps_per_chip / BASELINE_A100_FPS, 3),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

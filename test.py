@@ -1,0 +1,84 @@
+#!/usr/bin/env python
+"""Evaluation CLI mirroring the reference's task surface
+(/root/reference/test.py:314-377):
+
+    python test.py -c configs/kitti_geom.yaml --task kitti_depth \
+        --pretrained_model ckpt_dir --result_dir results/
+
+Tasks: kitti_depth | kitti_flow_2012 | kitti_flow_2015 | kitti_pose | demo.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import jax
+
+from unsupervised_depth_opticalflow_egomotion_tpu.config import load_config
+from unsupervised_depth_opticalflow_egomotion_tpu import eval_tasks
+from unsupervised_depth_opticalflow_egomotion_tpu.evaluation import (
+    format_flow_metrics,
+    load_gt_flow_kitti,
+    load_gt_mask,
+)
+from unsupervised_depth_opticalflow_egomotion_tpu.parallel import init_state
+from unsupervised_depth_opticalflow_egomotion_tpu.utils import CheckpointManager
+
+
+def main():
+    parser = argparse.ArgumentParser(description="TPU-native TrianFlow-style testing")
+    parser.add_argument("-c", "--config_file", default=None)
+    parser.add_argument("--mode", default="geom", choices=["flow", "depth", "geom"])
+    parser.add_argument(
+        "--task",
+        default="kitti_depth",
+        choices=["kitti_depth", "kitti_flow_2012", "kitti_flow_2015", "kitti_pose", "demo"],
+    )
+    parser.add_argument("--image_path", default=None, help="for --task demo")
+    parser.add_argument("--pretrained_model", default=None, help="checkpoint dir")
+    parser.add_argument("--result_dir", default="./results")
+    parser.add_argument("--write_submission", action="store_true")
+    args = parser.parse_args()
+
+    cfg = load_config(args.config_file, mode=args.mode, model_dir=args.result_dir)
+    os.makedirs(args.result_dir, exist_ok=True)
+
+    model, state = init_state(cfg, jax.random.PRNGKey(0))
+    if args.pretrained_model:
+        ckpt = CheckpointManager(args.pretrained_model)
+        state = ckpt.restore(state)
+        print(f"restored checkpoint from {args.pretrained_model}")
+
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    flow_fn, disp_fn, pose_fn = eval_tasks.make_inference_fns(model, variables)
+
+    if args.task == "kitti_depth":
+        res = eval_tasks.test_eigen_depth(cfg, disp_fn)
+        names = ["abs_rel", "sq_rel", "rms", "log_rms", "a1", "a2", "a3"]
+        print(", ".join(f"{n}={v:.4f}" for n, v in zip(names, res)))
+    elif args.task in ("kitti_flow_2012", "kitti_flow_2015"):
+        mode = "kitti_2012" if args.task == "kitti_flow_2012" else "kitti_2015"
+        gt_dir = cfg.gt_2012_dir if mode == "kitti_2012" else cfg.gt_2015_dir
+        gt_flows, noc_masks = load_gt_flow_kitti(gt_dir, mode)
+        moving = load_gt_mask(gt_dir) if mode == "kitti_2015" else None
+        sub_dir = os.path.join(args.result_dir, "submission") if args.write_submission else None
+        m = eval_tasks.test_kitti_flow(
+            cfg, flow_fn, gt_flows, noc_masks, mode, moving_masks=moving, submission_dir=sub_dir
+        )
+        print(f"[EVAL] [{mode}]")
+        print(format_flow_metrics(m))
+    elif args.task == "kitti_pose":
+        mean_err, std_err = eval_tasks.test_pose_odom(cfg, pose_fn)
+        print("Results")
+        print("\t {:>10}, {:>10}".format("ATE", "RE"))
+        print("mean \t {:10.4f}, {:10.4f}".format(*mean_err))
+        print("std \t {:10.4f}, {:10.4f}".format(*std_err))
+    elif args.task == "demo":
+        assert args.image_path, "--image_path required for demo"
+        eval_tasks.test_single_image(args.image_path, disp_fn, cfg.img_hw, args.result_dir)
+        print(f"Depth prediction saved in {args.result_dir}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,11 +1,13 @@
 """Test configuration: force CPU with 8 virtual devices for mesh tests.
 
-Must set env vars before jax initializes a backend.
+The environment's axon site customization pins JAX_PLATFORMS=axon (the
+tunneled TPU), so the env var alone is not enough -- we must override the
+config after import, before any backend initialization.
 """
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 xla_flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in xla_flags:
     os.environ["XLA_FLAGS"] = (
@@ -14,4 +16,16 @@ if "xla_force_host_platform_device_count" not in xla_flags:
 
 import jax  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
+
+# Persistent compilation cache: the joint-model graphs are large; caching
+# makes repeat test runs fast.
+_CACHE_DIR = os.path.join(os.path.dirname(__file__), ".jax_cache")
+jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
+def pytest_sessionstart(session):
+    assert jax.default_backend() == "cpu", jax.default_backend()
+    assert jax.device_count() >= 8, jax.devices()

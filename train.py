@@ -1,0 +1,194 @@
+#!/usr/bin/env python
+"""Training CLI: flow / depth / geom modes on KITTI.
+
+Mirrors the reference CLI surface (/root/reference/train.py:225-299):
+
+    python train.py -c configs/kitti_geom.yaml --mode geom --model_dir ckpt/
+
+with the TPU-native internals: threaded host input pipeline, one pjit train
+step over a data mesh, orbax checkpoints, interleaved benchmark eval.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import numpy as np
+import jax
+
+from unsupervised_depth_opticalflow_egomotion_tpu.config import Config, load_config
+from unsupervised_depth_opticalflow_egomotion_tpu.data import (
+    BatchLoader,
+    KittiOdoPrep,
+    KittiPreparedDataset,
+    KittiRawPrep,
+)
+from unsupervised_depth_opticalflow_egomotion_tpu import eval_tasks
+from unsupervised_depth_opticalflow_egomotion_tpu.evaluation import (
+    load_gt_flow_kitti,
+    load_gt_mask,
+)
+from unsupervised_depth_opticalflow_egomotion_tpu.parallel import (
+    init_state,
+    make_mesh,
+    make_optimizer,
+    make_train_step,
+    shard_batch,
+)
+from unsupervised_depth_opticalflow_egomotion_tpu.utils import (
+    CheckpointManager,
+    MetricLogger,
+    graft_params,
+)
+
+
+def prepare_data(cfg: Config) -> str:
+    data_dir = cfg.prepared_base_dir
+    if os.path.exists(os.path.join(data_dir, "train.txt")):
+        return data_dir
+    if cfg.dataset == "kitti_depth":
+        KittiRawPrep(cfg.raw_base_dir, cfg.static_frames_txt, cfg.test_scenes_txt).prepare(
+            data_dir, num_workers=cfg.num_workers
+        )
+    elif cfg.dataset == "kitti_odo":
+        KittiOdoPrep(cfg.raw_base_dir).prepare(data_dir, num_workers=cfg.num_workers)
+    else:
+        raise NotImplementedError(cfg.dataset)
+    return data_dir
+
+
+def run_interleaved_eval(cfg: Config, model, variables, logger, step, eval_ctx):
+    flow_fn, disp_fn, _pose_fn = eval_tasks.make_inference_fns(model, variables)
+    if eval_ctx.get("gt_flows_2012") is not None:
+        m = eval_tasks.test_kitti_flow(
+            cfg, flow_fn, eval_ctx["gt_flows_2012"], eval_ctx["noc_masks_2012"], "kitti_2012"
+        )
+        print(f"[EVAL {step}] KITTI2012: {m}")
+        logger.add_eval(step, "kitti_2012", m)
+    if eval_ctx.get("gt_flows_2015") is not None:
+        m = eval_tasks.test_kitti_flow(
+            cfg,
+            flow_fn,
+            eval_ctx["gt_flows_2015"],
+            eval_ctx["noc_masks_2015"],
+            "kitti_2015",
+            moving_masks=eval_ctx.get("gt_masks_2015"),
+        )
+        print(f"[EVAL {step}] KITTI2015: {m}")
+        logger.add_eval(step, "kitti_2015", m)
+    if cfg.mode in ("depth", "geom") and cfg.raw_base_dir:
+        try:
+            m = eval_tasks.test_eigen_depth(cfg, disp_fn)
+            print(f"[EVAL {step}] eigen depth (absrel sqrel rms logrms a1 a2 a3): {m}")
+            logger.add_eval(step, "eigen_depth", m)
+        except FileNotFoundError as e:
+            print(f"[EVAL {step}] eigen depth skipped: {e}")
+
+
+def train(cfg: Config):
+    mesh = make_mesh(cfg.num_devices, cfg.data_axis)
+    print(f"devices: {mesh.devices.tolist()}")
+
+    model, state = init_state(cfg, jax.random.PRNGKey(cfg.seed))
+
+    ckpt = CheckpointManager(os.path.join(cfg.model_dir, "ckpt"))
+    start_step = 0
+    if cfg.resume:
+        step = cfg.iter_start if cfg.iter_start > 0 else None
+        state = ckpt.restore(state, step)
+        start_step = int(state.step)
+        print(f"resumed from step {start_step}")
+    else:
+        # staged init: graft flow/depth-stage params (train.py:36-55)
+        for stage_dir in (cfg.flow_pretrained_model, cfg.depth_pretrained_model):
+            if stage_dir:
+                donor_ckpt = CheckpointManager(stage_dir)
+                donor = donor_ckpt.restore(state)
+                state = state.replace(params=graft_params(state.params, donor.params))
+                print(f"grafted params from {stage_dir}")
+
+    tx = make_optimizer(cfg, state.params)
+    step_fn = make_train_step(model, cfg, tx, mesh=mesh)
+
+    data_dir = prepare_data(cfg)
+    dataset = KittiPreparedDataset(
+        data_dir,
+        num_scales=cfg.num_scales,
+        img_hw=cfg.img_hw,
+        num_iterations=(cfg.num_iterations - start_step) * cfg.batch_size,
+        seed=cfg.seed,
+    )
+    loader = BatchLoader(
+        dataset, cfg.batch_size, shuffle=True, num_workers=cfg.num_workers, seed=cfg.seed
+    )
+
+    eval_ctx = {}
+    if cfg.gt_2012_dir:
+        eval_ctx["gt_flows_2012"], eval_ctx["noc_masks_2012"] = load_gt_flow_kitti(
+            cfg.gt_2012_dir, "kitti_2012"
+        )
+    if cfg.gt_2015_dir:
+        eval_ctx["gt_flows_2015"], eval_ctx["noc_masks_2015"] = load_gt_flow_kitti(
+            cfg.gt_2015_dir, "kitti_2015"
+        )
+        eval_ctx["gt_masks_2015"] = load_gt_mask(cfg.gt_2015_dir)
+
+    logger = MetricLogger(cfg.model_dir)
+    cfg.dump(os.path.join(cfg.model_dir, "config.json"))
+
+    rng = jax.random.PRNGKey(cfg.seed + 1)
+    step = start_step
+    for batch_np in loader:
+        if step >= cfg.num_iterations:
+            break
+        if cfg.test_interval and step % cfg.test_interval == 0 and step > start_step:
+            variables = {"params": state.params, "batch_stats": state.batch_stats}
+            run_interleaved_eval(cfg, model, variables, logger, step, eval_ctx)
+
+        batch = shard_batch(tuple(batch_np), mesh)
+        rng, sub = jax.random.split(rng)
+        state, metrics = step_fn(state, batch, sub)
+        step += 1
+
+        if step % cfg.log_interval == 0:
+            scalars = {k: float(v) for k, v in metrics.items()}
+            logger.add_scalars(step, scalars)
+            logger.print_losses(step, cfg.num_iterations, scalars)
+        if cfg.save_interval and step % cfg.save_interval == 0:
+            ckpt.save(step, jax.device_get(state))
+            logger.dump()
+
+    ckpt.save(step, jax.device_get(state))
+    logger.close()
+    print("training done")
+
+
+def main():
+    parser = argparse.ArgumentParser(description="TPU-native TrianFlow-style training")
+    parser.add_argument("-c", "--config_file", default=None)
+    parser.add_argument("--mode", default=None, choices=["flow", "depth", "geom"])
+    parser.add_argument("--model_dir", default=None)
+    parser.add_argument("--prepared_base_dir", default=None)
+    parser.add_argument("--batch_size", type=int, default=None)
+    parser.add_argument("--num_iterations", type=int, default=None)
+    parser.add_argument("--lr", type=float, default=None)
+    parser.add_argument("--resume", action="store_true", default=None)
+    parser.add_argument("--iter_start", type=int, default=None)
+    parser.add_argument("--flow_pretrained_model", default=None)
+    parser.add_argument("--depth_pretrained_model", default=None)
+    parser.add_argument("--fix_flow", action="store_true", default=None)
+    parser.add_argument("--fix_depth", action="store_true", default=None)
+    parser.add_argument("--fix_pose", action="store_true", default=None)
+    parser.add_argument("--num_devices", type=int, default=None)
+    parser.add_argument("--compute_dtype", default=None)
+    args = parser.parse_args()
+
+    overrides = {k: v for k, v in vars(args).items() if k != "config_file"}
+    cfg = load_config(args.config_file, **overrides)
+    os.makedirs(cfg.model_dir, exist_ok=True)
+    train(cfg)
+
+
+if __name__ == "__main__":
+    main()

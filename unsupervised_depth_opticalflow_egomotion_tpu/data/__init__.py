@@ -1,0 +1,24 @@
+"""Host-side data preparation and input pipeline."""
+
+from .kitti_flow import KittiFlowEval
+from .kitti_pose import KittiPoseEval
+from .kitti_prep import KittiOdoPrep, KittiRawPrep
+from .loader import (
+    BatchLoader,
+    KittiPreparedDataset,
+    multiscale_intrinsics,
+    read_cam_intrinsic,
+    rescale_intrinsics,
+)
+
+__all__ = [
+    "KittiFlowEval",
+    "KittiPoseEval",
+    "KittiOdoPrep",
+    "KittiRawPrep",
+    "BatchLoader",
+    "KittiPreparedDataset",
+    "multiscale_intrinsics",
+    "read_cam_intrinsic",
+    "rescale_intrinsics",
+]

@@ -1,0 +1,202 @@
+"""Host input pipeline: prepared-KITTI dataset + threaded prefetching loader.
+
+Replaces the reference's torch DataLoader (/root/reference/train.py:125) with
+a dependency-free numpy pipeline: worker threads decode/resize samples (cv2
+releases the GIL in imdecode/resize), batches are assembled NHWC float32 and
+staged ahead of the train step so the TPU never waits on the host.
+
+Sample semantics mirror core/dataset/kitti_prepared.py:
+- stacked [3H, W, 3] PNG split into thirds, each resized to img_hw
+- whole-stack horizontal flip with p=0.5
+- /255.0; intrinsics read from the *last line* of the calib file, rescaled to
+  img_hw, expanded into a per-scale pyramid with inverses
+- virtual epoch length: index i draws sample RandomState(i).randint(N)
+  (kitti_prepared.py:38-48), making the stream deterministic per index.
+"""
+
+from __future__ import annotations
+
+import os
+import queue
+import threading
+
+import numpy as np
+
+try:
+    import cv2
+except ImportError:  # pragma: no cover
+    cv2 = None
+
+
+def read_cam_intrinsic(fname: str) -> np.ndarray:
+    """Intrinsics from the last line of a KITTI calib file
+    (kitti_prepared.py:101-108)."""
+    with open(fname) as f:
+        lines = f.readlines()
+    data = lines[-1].strip("\n").split(" ")[1:]
+    mat = np.array([float(k) for k in data]).reshape(3, 4)
+    return mat[:3, :3]
+
+
+def rescale_intrinsics(K: np.ndarray, hw_orig, hw_new) -> np.ndarray:
+    K = K.copy()
+    K[0, :] *= hw_new[1] / hw_orig[1]
+    K[1, :] *= hw_new[0] / hw_orig[0]
+    return K
+
+
+def multiscale_intrinsics(K: np.ndarray, num_scales: int):
+    """Per-scale K pyramid + inverses (kitti_prepared.py:115-130)."""
+    K_ms, K_inv_ms = [], []
+    for s in range(num_scales):
+        K_new = K.copy()
+        K_new[0, :] /= 2**s
+        K_new[1, :] /= 2**s
+        K_ms.append(K_new)
+        K_inv_ms.append(np.linalg.inv(K_new))
+    return np.stack(K_ms).astype(np.float32), np.stack(K_inv_ms).astype(np.float32)
+
+
+class KittiPreparedDataset:
+    """Reads prepared 3-frame stacks listed in ``<data_dir>/train.txt``."""
+
+    def __init__(
+        self,
+        data_dir: str,
+        num_scales: int = 3,
+        img_hw=(256, 832),
+        num_iterations: int | None = None,
+        seed: int = 0,
+    ):
+        self.data_dir = data_dir
+        self.num_scales = num_scales
+        self.img_hw = tuple(img_hw)
+        self.num_iterations = num_iterations
+        self.seed = seed
+        self.data_list = self._read_index(os.path.join(data_dir, "train.txt"))
+
+    def _read_index(self, info_file):
+        with open(info_file) as f:
+            lines = f.readlines()
+        out = []
+        for line in lines:
+            parts = line.strip().split()
+            if len(parts) < 2:
+                continue
+            out.append(
+                {
+                    "image_file": os.path.join(self.data_dir, parts[0]),
+                    "cam_intrinsic_file": os.path.join(self.data_dir, parts[1]),
+                }
+            )
+        return out
+
+    def count(self) -> int:
+        return len(self.data_list)
+
+    def __len__(self) -> int:
+        return self.num_iterations if self.num_iterations is not None else self.count()
+
+    def __getitem__(self, idx: int):
+        rng = np.random.RandomState(self.seed + idx)
+        if self.num_iterations is not None:
+            idx = rng.randint(self.count())
+        data = self.data_list[idx]
+        img = cv2.imread(data["image_file"])
+        h_orig = img.shape[0] // 3
+        hw_orig = (h_orig, img.shape[1])
+        h, w = self.img_hw
+        parts = [
+            cv2.resize(img[i * h_orig : (i + 1) * h_orig], (w, h)) for i in range(3)
+        ]
+        img = np.concatenate(parts, axis=0)
+        if rng.rand() > 0.5:
+            img = img[:, ::-1]
+        img = (img / 255.0).astype(np.float32)
+
+        K = read_cam_intrinsic(data["cam_intrinsic_file"])
+        K = rescale_intrinsics(K, hw_orig, self.img_hw)
+        K_ms, K_inv_ms = multiscale_intrinsics(K, self.num_scales)
+        return img, K_ms, K_inv_ms
+
+
+class BatchLoader:
+    """Threaded prefetching batch iterator over an indexable dataset.
+
+    Yields tuples of stacked numpy arrays [B, ...]. ``shuffle`` permutes the
+    (virtual) index space once; with the dataset's per-index derangement this
+    matches the reference's shuffled resampling stream.
+    """
+
+    def __init__(
+        self,
+        dataset,
+        batch_size: int,
+        shuffle: bool = True,
+        num_workers: int = 4,
+        prefetch: int = 4,
+        seed: int = 0,
+        drop_last: bool = True,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.num_workers = max(1, num_workers)
+        self.prefetch = prefetch
+        self.seed = seed
+        self.drop_last = drop_last
+
+    def __len__(self):
+        n = len(self.dataset)
+        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+
+    def _batches(self):
+        n = len(self.dataset)
+        order = np.arange(n)
+        if self.shuffle:
+            np.random.RandomState(self.seed).shuffle(order)
+        nb = len(self)
+        for b in range(nb):
+            yield order[b * self.batch_size : (b + 1) * self.batch_size]
+
+    def __iter__(self):
+        batch_queue: queue.Queue = queue.Queue(maxsize=self.prefetch)
+        index_queue: queue.Queue = queue.Queue()
+        n_batches = len(self)
+        for ticket, idxs in enumerate(self._batches()):
+            index_queue.put((ticket, idxs))
+
+        results: dict[int, tuple] = {}
+        results_lock = threading.Lock()
+        stop = threading.Event()
+
+        def worker():
+            while not stop.is_set():
+                try:
+                    ticket, idxs = index_queue.get_nowait()
+                except queue.Empty:
+                    return
+                samples = [self.dataset[int(i)] for i in idxs]
+                batch = tuple(np.stack(cols) for cols in zip(*samples))
+                with results_lock:
+                    results[ticket] = batch
+
+        threads = [threading.Thread(target=worker, daemon=True) for _ in range(self.num_workers)]
+        for t in threads:
+            t.start()
+
+        try:
+            next_ticket = 0
+            while next_ticket < n_batches:
+                with results_lock:
+                    batch = results.pop(next_ticket, None)
+                if batch is None:
+                    if not any(t.is_alive() for t in threads) and next_ticket not in results:
+                        # workers died without producing the batch
+                        raise RuntimeError("loader workers exited early")
+                    threading.Event().wait(0.002)
+                    continue
+                yield batch
+                next_ticket += 1
+        finally:
+            stop.set()

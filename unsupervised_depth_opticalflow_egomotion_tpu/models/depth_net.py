@@ -1,0 +1,154 @@
+"""Monodepth2-style depth network: ResNet-18 encoder + skip decoder (NHWC).
+
+Re-design of /root/reference/core/networks/structures/depth_model.py for TPU:
+- trained-from-scratch ResNet18 (the reference uses pretrained=False,
+  depth_model.py:197) with BatchNorm; under pjit the batch statistics are
+  computed over the globally sharded batch, which generalizes the reference's
+  single-process DataParallel BN.
+- decoder: reflection-padded 3x3 convs + ELU, x2 bilinear upsampling, skip
+  connections, sigmoid disparity heads at ``num_scales`` scales
+  (depth_model.py:135-191).
+- input normalization (x - 0.45) / 0.225 (depth_model.py:87).
+
+The forward returns the raw sigmoid "disp" list; NOTE the training graph uses
+these directly as depth in inverse_warp2 (model_geometry.py:798-801) -- a
+reference behaviour we preserve deliberately (eval inverts consistently).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from ..ops.interp import upsample2x_bilinear
+from .layers import ReflectConv3x3, kaiming_normal_out, max_pool_3x3_s2_p1
+
+_DEC_CH = (16, 32, 64, 128, 256)
+
+
+class BasicBlock(nn.Module):
+    features: int
+    stride: int = 1
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        def bn():
+            return nn.BatchNorm(
+                use_running_average=not train,
+                momentum=0.9,
+                epsilon=1e-5,
+                dtype=self.dtype,
+            )
+
+        def conv(features, stride):
+            return nn.Conv(
+                features,
+                (3, 3),
+                strides=(stride, stride),
+                padding=((1, 1), (1, 1)),
+                use_bias=False,
+                kernel_init=kaiming_normal_out,
+                dtype=self.dtype,
+            )
+
+        residual = x
+        y = conv(self.features, self.stride)(x)
+        y = bn()(y)
+        y = nn.relu(y)
+        y = conv(self.features, 1)(y)
+        y = bn()(y)
+        if self.stride != 1 or x.shape[-1] != self.features:
+            residual = nn.Conv(
+                self.features,
+                (1, 1),
+                strides=(self.stride, self.stride),
+                use_bias=False,
+                kernel_init=kaiming_normal_out,
+                dtype=self.dtype,
+            )(x)
+            residual = bn()(residual)
+        return nn.relu(y + residual)
+
+
+class ResNet18Encoder(nn.Module):
+    """Returns the 5 monodepth2 skip features (depth_model.py:85-95)."""
+
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, img, train: bool):
+        x = (img - 0.45) / 0.225
+        x = nn.Conv(
+            64,
+            (7, 7),
+            strides=(2, 2),
+            padding=((3, 3), (3, 3)),
+            use_bias=False,
+            kernel_init=kaiming_normal_out,
+            dtype=self.dtype,
+        )(x)
+        x = nn.BatchNorm(
+            use_running_average=not train, momentum=0.9, epsilon=1e-5, dtype=self.dtype
+        )(x)
+        f0 = nn.relu(x)
+
+        x = max_pool_3x3_s2_p1(f0)
+        for _ in range(2):
+            x = BasicBlock(64, dtype=self.dtype)(x, train)
+        f1 = x
+        x = BasicBlock(128, stride=2, dtype=self.dtype)(x, train)
+        x = BasicBlock(128, dtype=self.dtype)(x, train)
+        f2 = x
+        x = BasicBlock(256, stride=2, dtype=self.dtype)(x, train)
+        x = BasicBlock(256, dtype=self.dtype)(x, train)
+        f3 = x
+        x = BasicBlock(512, stride=2, dtype=self.dtype)(x, train)
+        x = BasicBlock(512, dtype=self.dtype)(x, train)
+        f4 = x
+        return (f0, f1, f2, f3, f4)
+
+
+class ConvBlock(nn.Module):
+    """ReflectConv3x3 + ELU (depth_model.py:97-109)."""
+
+    features: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        return nn.elu(ReflectConv3x3(self.features, dtype=self.dtype)(x))
+
+
+class DepthDecoder(nn.Module):
+    num_scales: int = 3
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, features):
+        outputs = {}
+        x = features[-1]
+        for scale in range(4, -1, -1):
+            x = ConvBlock(_DEC_CH[scale], dtype=self.dtype)(x)
+            x = upsample2x_bilinear(x)
+            if scale > 0:
+                x = jnp.concatenate([x, features[scale - 1]], axis=-1)
+            x = ConvBlock(_DEC_CH[scale], dtype=self.dtype)(x)
+            if scale < self.num_scales:
+                disp = nn.sigmoid(ReflectConv3x3(1, dtype=self.dtype)(x))
+                outputs[scale] = disp
+        return [outputs[s] for s in range(self.num_scales)]
+
+
+class DepthNet(nn.Module):
+    """Encoder + decoder; returns disp pyramid [full, 1/2, 1/4, ...]."""
+
+    num_scales: int = 3
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, img, train: bool = False):
+        features = ResNet18Encoder(dtype=self.dtype)(img, train)
+        return DepthDecoder(num_scales=self.num_scales, dtype=self.dtype)(features)

@@ -1,0 +1,335 @@
+"""Joint depth / optical-flow / ego-motion model and its loss graphs.
+
+One Flax module hosts the four sub-networks and exposes the three training
+objectives as methods (selected statically at trace time, so each mode jits to
+its own tight XLA program):
+
+- ``forward_flow``: PWC flow with soft diff-weight occlusion masking
+  (/root/reference/core/networks/model_flow.py:209-261, with the published
+  crash bugs fixed by design -- survey defects 1-3)
+- ``forward_depth``: depth+pose photometric objective
+  (/root/reference/core/networks/model_depth.py:272-337)
+- ``forward_geom``: the flagship joint objective with dynamic-region masks,
+  epipolar distance maps and cross-task consistency
+  (/root/reference/core/networks/model_geometry.py:768-953)
+
+Loss packs are dicts of per-batch-item [B] vectors; the train step applies
+config weights and means. Optional losses the reference ships disabled
+(depth_ssim/depth_consis/triangle -- model_geometry.py:891-951) are implemented
+and gated by static flags, defaulting to the reference's live configuration.
+
+NOTE (preserved reference behaviour): the sigmoid disp pyramid is used
+directly as "depth" inside inverse_warp2 (model_geometry.py:798-801); eval
+inverts consistently (test.py:95).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..ops import losses as L
+from ..ops import masks as M
+from ..ops.geometry import disp2depth, projection_matrices
+from ..ops.interp import image_pyramid, resize_area
+from ..ops.inverse_warp_multi import multiscale_reconstruction
+from ..ops.sampling import sample_matches
+from ..ops.triangulation import midpoint_triangulate, register_depth, reproject
+from ..ops.warp import warp_flow
+from .depth_net import DepthNet
+from .feature_pyramid import FeaturePyramid
+from .pose_net import PoseNet
+from .pwc_decoder import PWCDecoder
+
+
+def split_stack(images: jax.Array):
+    """Vertically stacked 3-frame image [B,3H,W,3] -> (img_l, img, img_r)."""
+    h = images.shape[1] // 3
+    return images[:, :h], images[:, h : 2 * h], images[:, 2 * h :]
+
+
+class JointModel(nn.Module):
+    num_scales: int = 3
+    num_input_frames: int = 3
+    flow_consist_alpha: float = 0.01
+    flow_consist_beta: float = 0.5
+    rigid_thres: float = 0.5
+    inlier_thres: float = 0.1
+    geometric_ratio: float = 0.3
+    geometric_num: int = 6000
+    pose_beta: float = 1.0
+    enable_depth_ssim: bool = False
+    enable_depth_consis: bool = False
+    enable_triangle: bool = False
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        self.depth_net = DepthNet(num_scales=self.num_scales, dtype=self.dtype)
+        self.pose_net = PoseNet(
+            num_input_frames=self.num_input_frames, dtype=self.dtype
+        )
+        self.fpyramid = FeaturePyramid(dtype=self.dtype)
+        self.pwc = PWCDecoder(dtype=self.dtype)
+
+    # ------------------------------------------------------------------ infer
+    def infer_depth(self, img):
+        """Bounded depth from the full-res disp head (model_geometry.py:289-292)."""
+        disp_list = self.depth_net(img, train=False)
+        return disp2depth(disp_list[0])
+
+    def infer_disp(self, img):
+        """Raw full-res sigmoid disparity."""
+        return self.depth_net(img, train=False)[0]
+
+    def inference_flow(self, img1, img2):
+        """Full-res forward flow (model_geometry.py:294-298)."""
+        hw = (img1.shape[1], img1.shape[2])
+        f1, f2 = self.fpyramid(img1), self.fpyramid(img2)
+        return self.pwc(f1, f2, hw)[0]
+
+    def infer_pose(self, imgs):
+        """[B, N-1, 6] pose vectors from channel-stacked frames."""
+        return self.pose_net(imgs)
+
+    # ------------------------------------------------------------- flow mode
+    def forward_flow(self, images, K_ms, K_inv_ms, train: bool = True):
+        del K_ms, K_inv_ms, train
+        img_l, img, img_r = split_stack(images)
+        hw = (img.shape[1], img.shape[2])
+
+        feat_l, feat, feat_r = (
+            self.fpyramid(img_l),
+            self.fpyramid(img),
+            self.fpyramid(img_r),
+        )
+        flows_bwd = self.pwc(feat, feat_l, hw)
+        flows_fwd = self.pwc(feat, feat_r, hw)
+
+        # The flow objective uses area pyramids (model_flow.py:58-64).
+        n = len(flows_fwd)
+        img_l_pyr = image_pyramid(img_l, n, mode="area")
+        img_pyr = image_pyramid(img, n, mode="area")
+        img_r_pyr = image_pyramid(img_r, n, mode="area")
+
+        warped_from_l = [warp_flow(i, f, use_mask=True) for i, f in zip(img_l_pyr, flows_bwd)]
+        warped_from_r = [warp_flow(i, f, use_mask=True) for i, f in zip(img_r_pyr, flows_fwd)]
+
+        diff_bwd, diff_fwd, w_bwd, w_fwd = M.diff_weights(
+            warped_from_l, img_pyr, warped_from_r
+        )
+
+        # Losses run over num_scales scales even though 4 flows are predicted
+        # (model_flow.py loops range(self.num_scales)).
+        ns = self.num_scales
+        loss_pack = {
+            "loss_flow_pixel": L.masked_diff_loss(diff_fwd[:ns], w_fwd[:ns])
+            + L.masked_diff_loss(diff_bwd[:ns], w_bwd[:ns]),
+            "loss_flow_ssim": L.ssim_loss(img_pyr[:ns], warped_from_r[:ns], w_fwd[:ns])
+            + L.ssim_loss(img_pyr[:ns], warped_from_l[:ns], w_bwd[:ns]),
+            "loss_flow_smooth": L.flow_smooth_loss(flows_fwd[:ns], img_pyr[:ns])
+            + L.flow_smooth_loss(flows_bwd[:ns], img_pyr[:ns]),
+            "loss_flow_consis": L.flow_consis_loss(flows_fwd[:ns], flows_bwd[:ns], w_fwd[:ns]),
+        }
+        return loss_pack
+
+    # ------------------------------------------------------------ depth mode
+    def forward_depth(self, images, K_ms, K_inv_ms, train: bool = True):
+        del K_inv_ms
+        K = K_ms[:, 0]
+        img_l, img, img_r = split_stack(images)
+
+        img_pyr = image_pyramid(img, self.num_scales)
+        img_l_pyr = image_pyramid(img_l, self.num_scales)
+        img_r_pyr = image_pyramid(img_r, self.num_scales)
+
+        disp_l = self.depth_net(img_l, train=train)
+        disp = self.depth_net(img, train=train)
+        disp_r = self.depth_net(img_r, train=train)
+
+        poses = self.pose_net(jnp.concatenate([img_l, img, img_r], axis=-1))
+        pose_fwd, pose_bwd = poses[:, 1], poses[:, 0]
+
+        rec_l, valid_l, pdepth_l, cdepth_l = multiscale_reconstruction(
+            img_l, K, disp, disp_l, pose_bwd
+        )
+        rec_r, valid_r, pdepth_r, cdepth_r = multiscale_reconstruction(
+            img_r, K, disp, disp_r, pose_fwd
+        )
+
+        tex_bwd = M.texture_masks(img_pyr, rec_l, img_l_pyr)
+        tex_fwd = M.texture_masks(img_pyr, rec_r, img_r_pyr)
+        mask_bwd = M.fuse_masks(valid_l, tex_bwd)
+        mask_fwd = M.fuse_masks(valid_r, tex_fwd)
+
+        zero = jnp.zeros((images.shape[0],), jnp.float32)
+        loss_pack = {
+            "loss_depth_pixel": L.photometric_loss(img_pyr, rec_l, mask_bwd)
+            + L.photometric_loss(img_pyr, rec_r, mask_fwd),
+            "loss_depth_smooth": L.disp_smooth_loss(img, disp)
+            + L.disp_smooth_loss(img_l, disp_l)
+            + L.disp_smooth_loss(img_r, disp_r),
+            "loss_depth_ssim": (
+                L.ssim_loss(img_pyr, rec_l, mask_bwd) + L.ssim_loss(img_pyr, rec_r, mask_fwd)
+                if self.enable_depth_ssim
+                else zero
+            ),
+            "loss_depth_consis": (
+                L.depth_consis_loss(pdepth_l, cdepth_l, mask_bwd)
+                + L.depth_consis_loss(pdepth_r, cdepth_r, mask_fwd)
+                if self.enable_depth_consis
+                else zero
+            ),
+        }
+        return loss_pack
+
+    # ------------------------------------------------------------- geom mode
+    def forward_geom(
+        self, images, K_ms, K_inv_ms, rng=None, train: bool = True, with_masks: bool = False
+    ):
+        K, K_inv = K_ms[:, 0], K_inv_ms[:, 0]
+        img_l, img, img_r = split_stack(images)
+        hw = (img.shape[1], img.shape[2])
+
+        img_pyr = image_pyramid(img, self.num_scales)
+        img_l_pyr = image_pyramid(img_l, self.num_scales)
+        img_r_pyr = image_pyramid(img_r, self.num_scales)
+
+        # Depth on all three frames.
+        disp_l = self.depth_net(img_l, train=train)
+        disp = self.depth_net(img, train=train)
+        disp_r = self.depth_net(img_r, train=train)
+
+        # Pose fwd/bwd from the stacked triplet.
+        poses = self.pose_net(jnp.concatenate([img_l, img, img_r], axis=-1))
+        pose_fwd, pose_bwd = poses[:, 1], poses[:, 0]
+
+        # Flow fwd/bwd from the center frame.
+        feat_l, feat, feat_r = (
+            self.fpyramid(img_l),
+            self.fpyramid(img),
+            self.fpyramid(img_r),
+        )
+        flows_bwd = self.pwc(feat, feat_l, hw)[: self.num_scales]
+        flows_fwd = self.pwc(feat, feat_r, hw)[: self.num_scales]
+
+        # Depth/pose reconstruction of the center frame.
+        rec_l, valid_to_l, pdepth_l, cdepth_l = multiscale_reconstruction(
+            img_l, K, disp, disp_l, pose_bwd
+        )
+        rec_r, valid_to_r, pdepth_r, cdepth_r = multiscale_reconstruction(
+            img_r, K, disp, disp_r, pose_fwd
+        )
+
+        tex_bwd = M.texture_masks(img_pyr, rec_l, img_l_pyr)
+        tex_fwd = M.texture_masks(img_pyr, rec_r, img_r_pyr)
+
+        # Flow reconstruction of the center frame.
+        warped_from_l = [warp_flow(i, f, use_mask=True) for i, f in zip(img_l_pyr, flows_bwd)]
+        warped_from_r = [warp_flow(i, f, use_mask=True) for i, f in zip(img_r_pyr, flows_fwd)]
+        occ_bwd, occ_fwd, valid_bwd, valid_fwd = M.occlusion_weights(
+            warped_from_l, img_pyr, warped_from_r
+        )
+
+        # Dynamic-region masks from rigid-vs-predicted flow.
+        fd_bwd, dyn_bwd, fds_bwd = M.dynamic_masks(
+            K, disp, pose_bwd, flows_bwd, self.flow_consist_alpha, self.flow_consist_beta
+        )
+        fd_fwd, dyn_fwd, fds_fwd = M.dynamic_masks(
+            K, disp, pose_fwd, flows_fwd, self.flow_consist_alpha, self.flow_consist_beta
+        )
+
+        # Epipolar distance maps + rigid masks (top scale).
+        dist_bwd = M.epipolar_map(pose_bwd, flows_bwd[0], K, K_inv)
+        dist_fwd = M.epipolar_map(pose_fwd, flows_fwd[0], K, K_inv)
+        rigid_bwd, inlier_bwd, _ = M.rigid_masks(dist_bwd, self.rigid_thres, self.inlier_thres)
+        rigid_fwd, inlier_fwd, _ = M.rigid_masks(dist_fwd, self.rigid_thres, self.inlier_thres)
+
+        # Mask fusion (model_geometry.py:847-864).
+        fwd_mask = M.fuse_masks(valid_fwd, occ_fwd, dyn_fwd)
+        bwd_mask = M.fuse_masks(valid_bwd, occ_bwd, dyn_bwd)
+        fwd_mask_tex = M.fuse_masks(fwd_mask, tex_fwd)
+        bwd_mask_tex = M.fuse_masks(bwd_mask, tex_bwd)
+        fwd_valid_occ = M.fuse_masks(valid_fwd, occ_fwd)
+        bwd_valid_occ = M.fuse_masks(valid_bwd, occ_bwd)
+        fwd_vo_rigid = M.fuse_masks(fwd_valid_occ, dyn_fwd)
+        bwd_vo_rigid = M.fuse_masks(bwd_valid_occ, dyn_bwd)
+        fwd_vo_dyna = M.fuse_masks(fwd_valid_occ, [1 - m for m in dyn_fwd])
+        bwd_vo_dyna = M.fuse_masks(bwd_valid_occ, [1 - m for m in dyn_bwd])
+
+        zero = jnp.zeros((images.shape[0],), jnp.float32)
+        loss_pack = {
+            "loss_depth_pixel": L.photometric_loss(img_pyr, rec_l, bwd_mask_tex)
+            + L.photometric_loss(img_pyr, rec_r, fwd_mask_tex),
+            "loss_depth_ssim": (
+                L.ssim_loss(img_pyr, rec_l, bwd_mask_tex)
+                + L.ssim_loss(img_pyr, rec_r, fwd_mask_tex)
+                if self.enable_depth_ssim
+                else zero
+            ),
+            "loss_depth_smooth": L.disp_smooth_loss(img, disp)
+            + L.disp_smooth_loss(img_l, disp_l)
+            + L.disp_smooth_loss(img_r, disp_r),
+            "loss_depth_consis": (
+                L.depth_consis_loss(pdepth_l, cdepth_l, bwd_mask_tex)
+                + L.depth_consis_loss(pdepth_r, cdepth_r, fwd_mask_tex)
+                if self.enable_depth_consis
+                else zero
+            ),
+            "loss_flow_pixel": L.photometric_loss(img_pyr, warped_from_l, bwd_vo_rigid)
+            + L.photometric_loss(img_pyr, warped_from_r, fwd_vo_rigid)
+            + 2.0 * L.photometric_loss(img_pyr, warped_from_l, bwd_vo_dyna)
+            + 2.0 * L.photometric_loss(img_pyr, warped_from_r, fwd_vo_dyna),
+            "loss_flow_ssim": L.ssim_loss(img_pyr, warped_from_l, bwd_valid_occ)
+            + L.ssim_loss(img_pyr, warped_from_r, fwd_valid_occ),
+            "loss_flow_smooth": L.flow_smooth_loss(flows_fwd, img_pyr)
+            + L.flow_smooth_loss(flows_bwd, img_pyr),
+            "loss_flow_consis": L.flow_consis_loss(flows_fwd, flows_bwd, occ_fwd),
+            "loss_depth_flow_consis": L.depth_flow_consis_loss(fd_bwd, bwd_mask, 1)
+            + L.depth_flow_consis_loss(fd_fwd, fwd_mask, 1),
+            "loss_epipolar": L.epipolar_loss(dist_bwd, dyn_bwd[0])
+            + L.epipolar_loss(dist_fwd, dyn_fwd[0]),
+            "loss_triangle": zero,
+            "loss_pnp": zero,
+            "loss_eight_point": zero,
+        }
+
+        if self.enable_triangle:
+            key = rng if rng is not None else jax.random.PRNGKey(0)
+            k_bwd, k_fwd = jax.random.split(key)
+            m_bwd, _ = sample_matches(
+                k_bwd, flows_bwd[0], disp[0], fds_bwd[0], self.geometric_ratio, self.geometric_num
+            )
+            m_fwd, _ = sample_matches(
+                k_fwd, flows_fwd[0], disp[0], fds_fwd[0], self.geometric_ratio, self.geometric_num
+            )
+            loss_pack["loss_triangle"] = self._triangle_loss(
+                m_bwd, pose_bwd, K, K_inv, disp[0], disp_l[0]
+            ) + self._triangle_loss(m_fwd, pose_fwd, K, K_inv, disp[0], disp_r[0])
+
+        aux = {}
+        if with_masks:
+            aux = {
+                "occ_fwd_mask": occ_fwd[0],
+                "rigid_fwd_mask": rigid_fwd,
+                "inlier_fwd_mask": inlier_fwd,
+                "dyna_fwd_mask": dyn_fwd[0],
+                "valid_fwd_mask": valid_to_r[0],
+                "fwd_mask": fwd_mask[0],
+                "texture_mask_fwd": tex_fwd[0],
+                "pred_disp": disp[0],
+                "pred_flow_fwd": flows_fwd[0],
+            }
+        return loss_pack, aux
+
+    def _triangle_loss(self, match, pose, K, K_inv, disp1, disp2):
+        """Triangulated-depth registration loss (model_geometry.py:670-683)."""
+        P1, P2 = projection_matrices(pose, K)
+        points = midpoint_triangulate(match, K_inv, P1, P2)
+        c1, d1 = reproject(P1, points)
+        c2, d2 = reproject(P2, points)
+        _, inter1 = register_depth(disp1, c1, d1)
+        _, inter2 = register_depth(disp2, c2, d2)
+        return L.triangulation_loss(d1, inter1) + L.triangulation_loss(d2, inter2)

@@ -1,0 +1,96 @@
+"""Shared conv building blocks (NHWC Flax linen).
+
+Padding is always explicit (torch-style symmetric) rather than XLA 'SAME':
+for stride-2 convs the two conventions pad different sides, which shifts the
+sampling grid and changes the feature geometry that the flow decoder's
+coarse-to-fine warping depends on.
+
+Initializers mirror the reference nets' effective init: torch Conv2d default
+kaiming-uniform(a=sqrt(5)) for the flow/pose stacks, kaiming-normal(fan_out)
+for the ResNet encoder (depth_model.py:34-39).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+# torch Conv2d default: uniform with bound 1/sqrt(fan_in) == variance_scaling(1/3).
+torch_conv_init = nn.initializers.variance_scaling(1.0 / 3.0, "fan_in", "uniform")
+kaiming_normal_out = nn.initializers.variance_scaling(2.0, "fan_out", "normal")
+
+
+class ConvLReLU(nn.Module):
+    """Conv2d + LeakyReLU(0.1) (net_utils.py:7-11)."""
+
+    features: int
+    kernel: int = 3
+    stride: int = 1
+    padding: int = 1
+    dilation: int = 1
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        p = self.padding
+        x = nn.Conv(
+            self.features,
+            (self.kernel, self.kernel),
+            strides=(self.stride, self.stride),
+            padding=((p, p), (p, p)),
+            kernel_dilation=(self.dilation, self.dilation),
+            kernel_init=torch_conv_init,
+            dtype=self.dtype,
+        )(x)
+        return nn.leaky_relu(x, 0.1)
+
+
+class Conv(nn.Module):
+    """Plain Conv2d with torch-style symmetric padding."""
+
+    features: int
+    kernel: int = 3
+    stride: int = 1
+    padding: int = 1
+    use_bias: bool = True
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        p = self.padding
+        return nn.Conv(
+            self.features,
+            (self.kernel, self.kernel),
+            strides=(self.stride, self.stride),
+            padding=((p, p), (p, p)),
+            use_bias=self.use_bias,
+            kernel_init=torch_conv_init,
+            dtype=self.dtype,
+        )(x)
+
+
+class ReflectConv3x3(nn.Module):
+    """Reflection-padded 3x3 conv (depth_model.py:111-126)."""
+
+    features: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="reflect")
+        return nn.Conv(
+            self.features,
+            (3, 3),
+            padding="VALID",
+            kernel_init=torch_conv_init,
+            dtype=self.dtype,
+        )(x)
+
+
+def max_pool_3x3_s2_p1(x):
+    """torch MaxPool2d(kernel_size=3, stride=2, padding=1) on NHWC."""
+    return nn.max_pool(
+        x, window_shape=(3, 3), strides=(2, 2), padding=((1, 1), (1, 1))
+    )

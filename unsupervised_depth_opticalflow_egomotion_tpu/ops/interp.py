@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 def resize_bilinear(x: jax.Array, hw: tuple[int, int]) -> jax.Array:
@@ -43,7 +44,7 @@ def resize_area(x: jax.Array, hw: tuple[int, int]) -> jax.Array:
         kh, kw = h // nh, w // nw
         summed = jax.lax.reduce_window(
             x,
-            jnp.zeros((), x.dtype),
+            np.zeros((), x.dtype)[()],
             jax.lax.add,
             window_dimensions=(1, kh, kw, 1),
             window_strides=(1, kh, kw, 1),

@@ -10,12 +10,13 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 def _avg3x3(x: jax.Array) -> jax.Array:
     summed = jax.lax.reduce_window(
         x,
-        jnp.zeros((), x.dtype),
+        np.zeros((), x.dtype)[()],
         jax.lax.add,
         window_dimensions=(1, 3, 3, 1),
         window_strides=(1, 1, 1, 1),

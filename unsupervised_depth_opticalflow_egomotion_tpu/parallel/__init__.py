@@ -1,0 +1,14 @@
+from .mesh import batch_sharding, make_mesh, replicated, shard_batch
+from .train_step import TrainState, build_model, init_state, make_optimizer, make_train_step
+
+__all__ = [
+    "batch_sharding",
+    "make_mesh",
+    "replicated",
+    "shard_batch",
+    "TrainState",
+    "build_model",
+    "init_state",
+    "make_optimizer",
+    "make_train_step",
+]
