@@ -52,16 +52,16 @@ def main():
     )
 
     key = jax.random.PRNGKey(1)
-    # warmup / compile
+    # warmup / compile; fetch the loss to the host to force full completion
+    # (block_until_ready alone is unreliable through the device relay)
     state, metrics = step_fn(state, batch, key)
-    jax.block_until_ready(metrics["loss_total"])
+    float(metrics["loss_total"])
 
     iters = 20
     t0 = time.perf_counter()
     for i in range(iters):
-        key, sub = jax.random.split(key)
-        state, metrics = step_fn(state, batch, sub)
-    jax.block_until_ready(metrics["loss_total"])
+        state, metrics = step_fn(state, batch, key)
+    float(metrics["loss_total"])
     dt = time.perf_counter() - t0
 
     steps_per_s = iters / dt

@@ -51,6 +51,11 @@ def split_stack(images: jax.Array):
     return images[:, :h], images[:, h : 2 * h], images[:, 2 * h :]
 
 
+def _split3(x: jax.Array):
+    b = x.shape[0] // 3
+    return x[:b], x[b : 2 * b], x[2 * b :]
+
+
 class JointModel(nn.Module):
     num_scales: int = 3
     num_input_frames: int = 3
@@ -100,13 +105,15 @@ class JointModel(nn.Module):
         img_l, img, img_r = split_stack(images)
         hw = (img.shape[1], img.shape[2])
 
-        feat_l, feat, feat_r = (
-            self.fpyramid(img_l),
-            self.fpyramid(img),
-            self.fpyramid(img_r),
-        )
-        flows_bwd = self.pwc(feat, feat_l, hw)
-        flows_fwd = self.pwc(feat, feat_r, hw)
+        # One 3B-batch encoder pass + one 2B-batch decoder pass: larger
+        # batched convs keep the MXU fed instead of three/two small launches.
+        feats_all = self.fpyramid(jnp.concatenate([img_l, img, img_r], axis=0))
+        feat_l, feat, feat_r = zip(*(_split3(f) for f in feats_all))
+        feat_cc = tuple(jnp.concatenate([c, c], axis=0) for c in feat)
+        feat_lr = tuple(jnp.concatenate(p, axis=0) for p in zip(feat_l, feat_r))
+        flows_both = self.pwc(feat_cc, feat_lr, hw)
+        flows_bwd = [f[: img.shape[0]] for f in flows_both]
+        flows_fwd = [f[img.shape[0] :] for f in flows_both]
 
         # The flow objective uses area pyramids (model_flow.py:58-64).
         n = len(flows_fwd)
@@ -114,8 +121,13 @@ class JointModel(nn.Module):
         img_pyr = image_pyramid(img, n, mode="area")
         img_r_pyr = image_pyramid(img_r, n, mode="area")
 
-        warped_from_l = [warp_flow(i, f, use_mask=True) for i, f in zip(img_l_pyr, flows_bwd)]
-        warped_from_r = [warp_flow(i, f, use_mask=True) for i, f in zip(img_r_pyr, flows_fwd)]
+        bsz = img.shape[0]
+        warped2 = [
+            warp_flow(jnp.concatenate([il, ir], 0), jnp.concatenate([fb, ff], 0), True)
+            for il, ir, fb, ff in zip(img_l_pyr, img_r_pyr, flows_bwd, flows_fwd)
+        ]
+        warped_from_l = [x[:bsz] for x in warped2]
+        warped_from_r = [x[bsz:] for x in warped2]
 
         diff_bwd, diff_fwd, w_bwd, w_fwd = M.diff_weights(
             warped_from_l, img_pyr, warped_from_r
@@ -145,9 +157,14 @@ class JointModel(nn.Module):
         img_l_pyr = image_pyramid(img_l, self.num_scales)
         img_r_pyr = image_pyramid(img_r, self.num_scales)
 
-        disp_l = self.depth_net(img_l, train=train)
-        disp = self.depth_net(img, train=train)
-        disp_r = self.depth_net(img_r, train=train)
+        # Single 3B-batch depth pass (BatchNorm statistics are computed over
+        # the frame triplet jointly rather than per-frame -- a deliberate
+        # batching of the reference's three separate calls).
+        disp_all = self.depth_net(
+            jnp.concatenate([img_l, img, img_r], axis=0), train=train
+        )
+        disp_l, disp, disp_r = zip(*(_split3(d) for d in disp_all))
+        disp_l, disp, disp_r = list(disp_l), list(disp), list(disp_r)
 
         poses = self.pose_net(jnp.concatenate([img_l, img, img_r], axis=-1))
         pose_fwd, pose_bwd = poses[:, 1], poses[:, 0]
@@ -197,53 +214,79 @@ class JointModel(nn.Module):
         img_l_pyr = image_pyramid(img_l, self.num_scales)
         img_r_pyr = image_pyramid(img_r, self.num_scales)
 
-        # Depth on all three frames.
-        disp_l = self.depth_net(img_l, train=train)
-        disp = self.depth_net(img, train=train)
-        disp_r = self.depth_net(img_r, train=train)
+        # Depth on all three frames in one 3B-batch pass (BN stats over the
+        # triplet jointly -- deliberate batching of the reference's 3 calls).
+        disp_all = self.depth_net(
+            jnp.concatenate([img_l, img, img_r], axis=0), train=train
+        )
+        disp_l, disp, disp_r = zip(*(_split3(d) for d in disp_all))
+        disp_l, disp, disp_r = list(disp_l), list(disp), list(disp_r)
 
         # Pose fwd/bwd from the stacked triplet.
         poses = self.pose_net(jnp.concatenate([img_l, img, img_r], axis=-1))
         pose_fwd, pose_bwd = poses[:, 1], poses[:, 0]
 
-        # Flow fwd/bwd from the center frame.
-        feat_l, feat, feat_r = (
-            self.fpyramid(img_l),
-            self.fpyramid(img),
-            self.fpyramid(img_r),
-        )
-        flows_bwd = self.pwc(feat, feat_l, hw)[: self.num_scales]
-        flows_fwd = self.pwc(feat, feat_r, hw)[: self.num_scales]
+        # Flow fwd/bwd from the center frame: one 3B feature pass + one
+        # 2B decoder pass.
+        feats_all = self.fpyramid(jnp.concatenate([img_l, img, img_r], axis=0))
+        feat_l, feat, feat_r = zip(*(_split3(f) for f in feats_all))
+        feat_cc = tuple(jnp.concatenate([c, c], axis=0) for c in feat)
+        feat_lr = tuple(jnp.concatenate(p, axis=0) for p in zip(feat_l, feat_r))
+        flows_both = self.pwc(feat_cc, feat_lr, hw)
+        b = img.shape[0]
+        flows_bwd = [f[:b] for f in flows_both[: self.num_scales]]
+        flows_fwd = [f[b:] for f in flows_both[: self.num_scales]]
+
+        # Both warp directions are batched through the heavy gather ops as one
+        # 2B problem (bwd first, fwd second) -- half the gather kernels at
+        # twice the size.
+        def cat2(a, bb):
+            return jnp.concatenate([a, bb], axis=0)
+
+        def split2(x):
+            return x[:b], x[b:]
+
+        pose2 = cat2(pose_bwd, pose_fwd)
+        K2 = cat2(K, K)
+        disp2 = [cat2(d, d) for d in disp]
+        disp_lr = [cat2(dl, dr) for dl, dr in zip(disp_l, disp_r)]
+        flows2 = [cat2(fb, ff) for fb, ff in zip(flows_bwd, flows_fwd)]
 
         # Depth/pose reconstruction of the center frame.
-        rec_l, valid_to_l, pdepth_l, cdepth_l = multiscale_reconstruction(
-            img_l, K, disp, disp_l, pose_bwd
+        rec2, valid_to2, pdepth2, cdepth2 = multiscale_reconstruction(
+            cat2(img_l, img_r), K2, disp2, disp_lr, pose2
         )
-        rec_r, valid_to_r, pdepth_r, cdepth_r = multiscale_reconstruction(
-            img_r, K, disp, disp_r, pose_fwd
-        )
+        rec_l, rec_r = zip(*(split2(x) for x in rec2))
+        valid_to_l, valid_to_r = zip(*(split2(x) for x in valid_to2))
+        pdepth_l, pdepth_r = zip(*(split2(x) for x in pdepth2))
+        cdepth_l, cdepth_r = zip(*(split2(x) for x in cdepth2))
 
         tex_bwd = M.texture_masks(img_pyr, rec_l, img_l_pyr)
         tex_fwd = M.texture_masks(img_pyr, rec_r, img_r_pyr)
 
         # Flow reconstruction of the center frame.
-        warped_from_l = [warp_flow(i, f, use_mask=True) for i, f in zip(img_l_pyr, flows_bwd)]
-        warped_from_r = [warp_flow(i, f, use_mask=True) for i, f in zip(img_r_pyr, flows_fwd)]
+        warped2 = [
+            warp_flow(cat2(il, ir), f2, use_mask=True)
+            for il, ir, f2 in zip(img_l_pyr, img_r_pyr, flows2)
+        ]
+        warped_from_l, warped_from_r = zip(*(split2(x) for x in warped2))
         occ_bwd, occ_fwd, valid_bwd, valid_fwd = M.occlusion_weights(
             warped_from_l, img_pyr, warped_from_r
         )
 
         # Dynamic-region masks from rigid-vs-predicted flow.
-        fd_bwd, dyn_bwd, fds_bwd = M.dynamic_masks(
-            K, disp, pose_bwd, flows_bwd, self.flow_consist_alpha, self.flow_consist_beta
+        fd2, dyn2, fds2 = M.dynamic_masks(
+            K2, disp2, pose2, flows2, self.flow_consist_alpha, self.flow_consist_beta
         )
-        fd_fwd, dyn_fwd, fds_fwd = M.dynamic_masks(
-            K, disp, pose_fwd, flows_fwd, self.flow_consist_alpha, self.flow_consist_beta
-        )
+        fd_bwd, fd_fwd = zip(*(split2(x) for x in fd2))
+        dyn_bwd, dyn_fwd = zip(*(split2(x) for x in dyn2))
+        fds_bwd, fds_fwd = zip(*(split2(x) for x in fds2))
+        fd_bwd, fd_fwd = list(fd_bwd), list(fd_fwd)
+        dyn_bwd, dyn_fwd = list(dyn_bwd), list(dyn_fwd)
 
         # Epipolar distance maps + rigid masks (top scale).
-        dist_bwd = M.epipolar_map(pose_bwd, flows_bwd[0], K, K_inv)
-        dist_fwd = M.epipolar_map(pose_fwd, flows_fwd[0], K, K_inv)
+        dist2 = M.epipolar_map(pose2, flows2[0], K2, cat2(K_inv, K_inv))
+        dist_bwd, dist_fwd = split2(dist2)
         rigid_bwd, inlier_bwd, _ = M.rigid_masks(dist_bwd, self.rigid_thres, self.inlier_thres)
         rigid_fwd, inlier_fwd, _ = M.rigid_masks(dist_fwd, self.rigid_thres, self.inlier_thres)
 

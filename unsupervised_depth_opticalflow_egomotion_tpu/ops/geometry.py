@@ -149,9 +149,14 @@ def inverse_warp2(
     proj = _mm(intrinsics, pose_vec2mat(pose))
     coords, computed_depth = cam2pixel_norm(cam_coords, proj, padding_mode)
 
-    projected_img = grid_sample(img, coords)
+    # img and ref_depth are sampled at identical coords: one fused gather
+    # (4-channel slices) instead of two.
+    sampled = grid_sample(
+        jnp.concatenate([img, ref_depth.astype(img.dtype)], axis=-1), coords
+    )
+    projected_img = sampled[..., :3]
+    projected_depth = jnp.maximum(sampled[..., 3:], 1e-3)
     valid = (jnp.max(jnp.abs(coords), axis=-1) <= 1.0).astype(img.dtype)[..., None]
-    projected_depth = jnp.maximum(grid_sample(ref_depth, coords), 1e-3)
     return projected_img, valid, projected_depth, computed_depth
 
 
