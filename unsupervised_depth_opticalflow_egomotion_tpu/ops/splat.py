@@ -1,0 +1,79 @@
+"""Forward splatting (scatter-based warping) for occlusion reasoning.
+
+The reference calls ``transformerFwd`` for flow-based occlusion masks
+(model_flow.py:33-39) but never ships it (survey defect #3 -- the function is
+TrianFlow's tensorflow forward-warp). This is the TPU-native equivalent:
+bilinear forward splatting via one batched scatter-add.
+
+``occlusion_mask_from_flow``: splat an image of ones along the forward flow;
+pixels receiving ~0 mass are occluded in the target.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from .warp import pixel_grid
+
+
+def forward_splat(values: jax.Array, flow: jax.Array) -> jax.Array:
+    """Bilinearly splat ``values`` [B,H,W,C] along ``flow`` [B,H,W,2].
+
+    out[y + fy, x + fx] += w_tap * values[y, x] over the four bilinear taps;
+    out-of-frame mass is dropped (zeros semantics).
+    """
+    b, h, w, c = values.shape
+    grid = pixel_grid(h, w, flow.dtype)[None]
+    tx = grid[..., 0] + flow[..., 0]
+    ty = grid[..., 1] + flow[..., 1]
+
+    x0 = jnp.floor(tx)
+    y0 = jnp.floor(ty)
+    fx = tx - x0
+    fy = ty - y0
+
+    out = jnp.zeros((b, h * w, c), values.dtype)
+    vals_flat = values.reshape(b, h * w, c)
+
+    def add_tap(out, xi, yi, wgt):
+        inb = (xi >= 0) & (xi <= w - 1) & (yi >= 0) & (yi <= h - 1)
+        idx = (
+            jnp.clip(yi, 0, h - 1).astype(jnp.int32) * w
+            + jnp.clip(xi, 0, w - 1).astype(jnp.int32)
+        ).reshape(b, h * w)
+        contrib = vals_flat * jnp.where(inb, wgt, 0.0).reshape(b, h * w)[..., None].astype(
+            values.dtype
+        )
+        dn = jax.lax.ScatterDimensionNumbers(
+            update_window_dims=(2,),
+            inserted_window_dims=(1,),
+            scatter_dims_to_operand_dims=(1,),
+            operand_batching_dims=(0,),
+            scatter_indices_batching_dims=(0,),
+        )
+        return jax.lax.scatter_add(
+            out,
+            idx[..., None],
+            contrib,
+            dn,
+            mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS,
+        )
+
+    out = add_tap(out, x0, y0, (1 - fx) * (1 - fy))
+    out = add_tap(out, x0 + 1, y0, fx * (1 - fy))
+    out = add_tap(out, x0, y0 + 1, (1 - fx) * fy)
+    out = add_tap(out, x0 + 1, y0 + 1, fx * fy)
+    return out.reshape(b, h, w, c)
+
+
+def occlusion_mask_from_flow(flow: jax.Array) -> jax.Array:
+    """Occlusion mask [B,H,W,1] by forward-splatting ones along ``flow``.
+
+    Mirrors the reference's intended get_occlusion_mask_from_flow
+    (model_flow.py:33-39): splatted mass clamped to [0, 1]; ~0 = occluded.
+    """
+    b, h, w, _ = flow.shape
+    ones = jnp.ones((b, h, w, 1), flow.dtype)
+    mass = forward_splat(ones, flow)
+    return jax.lax.stop_gradient(jnp.clip(mass, 0.0, 1.0))
