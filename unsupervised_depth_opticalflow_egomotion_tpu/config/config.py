@@ -60,7 +60,8 @@ class Config:
     seed: int = 0
 
     # precision / parallelism
-    compute_dtype: str = "bfloat16"  # network compute dtype; params stay f32
+    compute_dtype: str = "bfloat16"
+    remat: bool = True  # rematerialize conv stacks in backward (saves HBM)
     data_axis: str = "data"
     num_devices: int = 0  # 0 = all visible
 

@@ -69,25 +69,33 @@ class JointModel(nn.Module):
     enable_depth_ssim: bool = False
     enable_depth_consis: bool = False
     enable_triangle: bool = False
+    remat: bool = True
     dtype: Any = jnp.float32
 
     def setup(self):
-        self.depth_net = DepthNet(num_scales=self.num_scales, dtype=self.dtype)
+        # Rematerialize the conv stacks: the joint graph holds 3B-batch
+        # activations for three networks at 256x832; recomputing them in the
+        # backward keeps peak HBM under the chip budget (FLOPs are cheap on
+        # the MXU relative to HBM here).
+        depth_cls = nn.remat(DepthNet, static_argnums=(2,)) if self.remat else DepthNet
+        fpyr_cls = nn.remat(FeaturePyramid) if self.remat else FeaturePyramid
+        pwc_cls = nn.remat(PWCDecoder, static_argnums=(3,)) if self.remat else PWCDecoder
+        self.depth_net = depth_cls(num_scales=self.num_scales, dtype=self.dtype)
         self.pose_net = PoseNet(
             num_input_frames=self.num_input_frames, dtype=self.dtype
         )
-        self.fpyramid = FeaturePyramid(dtype=self.dtype)
-        self.pwc = PWCDecoder(dtype=self.dtype)
+        self.fpyramid = fpyr_cls(dtype=self.dtype)
+        self.pwc = pwc_cls(dtype=self.dtype)
 
     # ------------------------------------------------------------------ infer
     def infer_depth(self, img):
         """Bounded depth from the full-res disp head (model_geometry.py:289-292)."""
-        disp_list = self.depth_net(img, train=False)
+        disp_list = self.depth_net(img, False)
         return disp2depth(disp_list[0])
 
     def infer_disp(self, img):
         """Raw full-res sigmoid disparity."""
-        return self.depth_net(img, train=False)[0]
+        return self.depth_net(img, False)[0]
 
     def inference_flow(self, img1, img2):
         """Full-res forward flow (model_geometry.py:294-298)."""
@@ -161,7 +169,7 @@ class JointModel(nn.Module):
         # the frame triplet jointly rather than per-frame -- a deliberate
         # batching of the reference's three separate calls).
         disp_all = self.depth_net(
-            jnp.concatenate([img_l, img, img_r], axis=0), train=train
+            jnp.concatenate([img_l, img, img_r], axis=0), train
         )
         disp_l, disp, disp_r = zip(*(_split3(d) for d in disp_all))
         disp_l, disp, disp_r = list(disp_l), list(disp), list(disp_r)
@@ -170,10 +178,10 @@ class JointModel(nn.Module):
         pose_fwd, pose_bwd = poses[:, 1], poses[:, 0]
 
         rec_l, valid_l, pdepth_l, cdepth_l = multiscale_reconstruction(
-            img_l, K, disp, disp_l, pose_bwd
+            img_l, K, disp, disp_l, pose_bwd, sample_ref_depth=self.enable_depth_consis
         )
         rec_r, valid_r, pdepth_r, cdepth_r = multiscale_reconstruction(
-            img_r, K, disp, disp_r, pose_fwd
+            img_r, K, disp, disp_r, pose_fwd, sample_ref_depth=self.enable_depth_consis
         )
 
         tex_bwd = M.texture_masks(img_pyr, rec_l, img_l_pyr)
@@ -217,7 +225,7 @@ class JointModel(nn.Module):
         # Depth on all three frames in one 3B-batch pass (BN stats over the
         # triplet jointly -- deliberate batching of the reference's 3 calls).
         disp_all = self.depth_net(
-            jnp.concatenate([img_l, img, img_r], axis=0), train=train
+            jnp.concatenate([img_l, img, img_r], axis=0), train
         )
         disp_l, disp, disp_r = zip(*(_split3(d) for d in disp_all))
         disp_l, disp, disp_r = list(disp_l), list(disp), list(disp_r)
@@ -254,12 +262,16 @@ class JointModel(nn.Module):
 
         # Depth/pose reconstruction of the center frame.
         rec2, valid_to2, pdepth2, cdepth2 = multiscale_reconstruction(
-            cat2(img_l, img_r), K2, disp2, disp_lr, pose2
+            cat2(img_l, img_r), K2, disp2, disp_lr, pose2,
+            sample_ref_depth=self.enable_depth_consis,
         )
         rec_l, rec_r = zip(*(split2(x) for x in rec2))
         valid_to_l, valid_to_r = zip(*(split2(x) for x in valid_to2))
-        pdepth_l, pdepth_r = zip(*(split2(x) for x in pdepth2))
-        cdepth_l, cdepth_r = zip(*(split2(x) for x in cdepth2))
+        if self.enable_depth_consis:
+            pdepth_l, pdepth_r = zip(*(split2(x) for x in pdepth2))
+            cdepth_l, cdepth_r = zip(*(split2(x) for x in cdepth2))
+        else:
+            pdepth_l = pdepth_r = cdepth_l = cdepth_r = None
 
         tex_bwd = M.texture_masks(img_pyr, rec_l, img_l_pyr)
         tex_fwd = M.texture_masks(img_pyr, rec_r, img_r_pyr)

@@ -131,6 +131,7 @@ def inverse_warp2(
     pose: jax.Array,
     intrinsics: jax.Array,
     padding_mode: str = "zeros",
+    sample_ref_depth: bool = True,
 ):
     """Depth+pose inverse warp of a source image onto the target plane.
 
@@ -149,6 +150,14 @@ def inverse_warp2(
     proj = _mm(intrinsics, pose_vec2mat(pose))
     coords, computed_depth = cam2pixel_norm(cam_coords, proj, padding_mode)
 
+    valid = (jnp.max(jnp.abs(coords), axis=-1) <= 1.0).astype(img.dtype)[..., None]
+    if not sample_ref_depth:
+        # projected_depth feeds only the depth-consis loss (disabled in the
+        # reference's live config, model_geometry.py:897-899); skipping the
+        # sample avoids a gather whose backward is a scatter-add (ref_depth
+        # is network output).
+        projected_img = grid_sample(img, coords)
+        return projected_img, valid, None, computed_depth
     # img and ref_depth are sampled at identical coords: one fused gather
     # (4-channel slices) instead of two.
     sampled = grid_sample(
@@ -156,7 +165,6 @@ def inverse_warp2(
     )
     projected_img = sampled[..., :3]
     projected_depth = jnp.maximum(sampled[..., 3:], 1e-3)
-    valid = (jnp.max(jnp.abs(coords), axis=-1) <= 1.0).astype(img.dtype)[..., None]
     return projected_img, valid, projected_depth, computed_depth
 
 

@@ -14,7 +14,7 @@ from .geometry import inverse_warp2
 from .interp import resize_area
 
 
-def multiscale_reconstruction(ref_img, intrinsics, depths, depths_ref, pose):
+def multiscale_reconstruction(ref_img, intrinsics, depths, depths_ref, pose, sample_ref_depth=True):
     """Reconstruct the target at every scale of the depth pyramid.
 
     Args:
@@ -36,7 +36,8 @@ def multiscale_reconstruction(ref_img, intrinsics, depths, depths_ref, pose):
             [intrinsics[:, 0:2] / downscale, intrinsics[:, 2:]], axis=1
         )
         rec, valid, pdepth, cdepth = inverse_warp2(
-            ref_scaled, depth, depth_ref, pose, K_scaled
+            ref_scaled, depth, depth_ref, pose, K_scaled,
+            sample_ref_depth=sample_ref_depth,
         )
         recs.append(rec)
         valids.append(valid)

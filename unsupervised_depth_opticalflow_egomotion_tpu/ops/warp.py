@@ -8,14 +8,11 @@ inverse_warp.py:249-251), bilinear interpolation, zeros padding: any corner
 outside the image contributes 0.
 
 TPU design notes:
-- ONE ``lax.gather`` of 2x2xC patches per sample instead of four
-  single-pixel gathers: a C=3 pixel uses 3 of 128 lanes, so halving the
-  gather count and widening each slice materially improves the gather's
-  arithmetic intensity.
-- CLIP mode shifts out-of-range patch starts in-bounds; weights are computed
-  per patch position by matching it against the (unclipped) bilinear taps, so
-  clipping never samples the wrong pixel and zeros padding falls out of the
-  in-bounds weight masking.
+- four flat row-gathers over [B,HW,C] with *pre-clipped* patch starts: the
+  tap positions are clipped to [0, size-2] so every tap offset (0, 1, W, W+1)
+  is in-bounds with no per-tap clamping, and the bilinear weights are
+  re-derived per patch position so clipping never samples the wrong pixel;
+  zeros padding falls out of the in-bounds weight masking.
 - ``warp_flow(use_mask=True)``'s validity mask (the reference warps an image
   of ones and thresholds, net_utils.py:47-52) is computed *analytically* from
   the tap weights -- sampling ones with zeros padding is just the sum of
@@ -67,34 +64,15 @@ def _tap_weights(i, size):
     return start.astype(jnp.int32), pos_weight(0), pos_weight(1)
 
 
-def _patch_gather(img: jax.Array, ys: jax.Array, xs: jax.Array) -> jax.Array:
-    """Gather 2x2xC patches at integer starts. img [B,H,W,C]; ys/xs [B,N].
-
-    Returns [B,N,2,2,C].
-    """
-    b, h, w, c = img.shape
-    idx = jnp.stack([ys, xs], axis=-1)  # [B,N,2]
-    dn = jax.lax.GatherDimensionNumbers(
-        offset_dims=(2, 3, 4),
-        collapsed_slice_dims=(),
-        start_index_map=(1, 2),
-        operand_batching_dims=(0,),
-        start_indices_batching_dims=(0,),
-    )
-    return jax.lax.gather(
-        img,
-        idx,
-        dn,
-        slice_sizes=(1, 2, 2, c),
-        mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS,
-    ).reshape(b, idx.shape[1], 2, 2, c)
-
-
 def grid_sample_with_weight(img: jax.Array, coords: jax.Array):
     """Bilinear sample + total in-bounds weight.
 
     Returns (sampled [B,Ho,Wo,C], weight_sum [B,Ho,Wo,1]) where weight_sum is
     exactly what sampling an all-ones image with zeros padding would produce.
+
+    Four flat row-gathers ([B,HW,C] take_along_axis) -- measured faster on
+    TPU than a single 2x2-patch lax.gather, whose [...,2,2,C] output tiles
+    pad ~64x in HBM.
     """
     b, h, w, c = img.shape
     _, ho, wo, _ = coords.shape
@@ -106,8 +84,12 @@ def grid_sample_with_weight(img: jax.Array, coords: jax.Array):
     ys, wy0, wy1 = _tap_weights(iy, h)
     xs, wx0, wx1 = _tap_weights(ix, w)
 
-    patches = _patch_gather(img, ys.reshape(b, -1), xs.reshape(b, -1))
-    patches = patches.reshape(b, ho, wo, 2, 2, c)
+    img_flat = img.reshape(b, h * w, c)
+    base = (ys * w + xs).reshape(b, ho * wo)
+
+    def tap(offset):
+        idx = (base + offset)[..., None]
+        return jnp.take_along_axis(img_flat, idx, axis=1).reshape(b, ho, wo, c)
 
     wy0 = wy0.astype(dtype)[..., None]
     wy1 = wy1.astype(dtype)[..., None]
@@ -115,12 +97,12 @@ def grid_sample_with_weight(img: jax.Array, coords: jax.Array):
     wx1 = wx1.astype(dtype)[..., None]
 
     out = (
-        patches[:, :, :, 0, 0] * (wy0 * wx0)
-        + patches[:, :, :, 0, 1] * (wy0 * wx1)
-        + patches[:, :, :, 1, 0] * (wy1 * wx0)
-        + patches[:, :, :, 1, 1] * (wy1 * wx1)
+        tap(0) * (wy0 * wx0)
+        + tap(1) * (wy0 * wx1)
+        + tap(w) * (wy1 * wx0)
+        + tap(w + 1) * (wy1 * wx1)
     )
-    weight_sum = ((wy0 + wy1) * (wx0 + wx1))
+    weight_sum = (wy0 + wy1) * (wx0 + wx1)
     return out, weight_sum
 
 

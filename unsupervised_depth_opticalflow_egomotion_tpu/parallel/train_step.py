@@ -50,6 +50,7 @@ def build_model(cfg: Config) -> JointModel:
         enable_depth_ssim=cfg.enable_depth_ssim,
         enable_depth_consis=cfg.enable_depth_consis,
         enable_triangle=cfg.enable_triangle,
+        remat=cfg.remat,
         dtype=dtype,
     )
 
