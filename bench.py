@@ -25,6 +25,11 @@ BASELINE_A100_FPS = 40.0
 def main():
     import jax
 
+    # persistent compile cache: repeated bench runs skip the ~minutes-long
+    # remote compile of the train step
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_tpu")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
     from unsupervised_depth_opticalflow_egomotion_tpu.config import Config
     from unsupervised_depth_opticalflow_egomotion_tpu.parallel import (
         init_state,

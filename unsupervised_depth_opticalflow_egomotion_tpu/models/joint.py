@@ -45,8 +45,15 @@ from .pose_net import PoseNet
 from .pwc_decoder import PWCDecoder
 
 
-def split_stack(images: jax.Array):
-    """Vertically stacked 3-frame image [B,3H,W,3] -> (img_l, img, img_r)."""
+def split_stack(images: jax.Array, dtype=None):
+    """Vertically stacked 3-frame image [B,3H,W,3] -> (img_l, img, img_r).
+
+    With ``dtype`` the frames are cast (bf16 on the training path: image
+    values tolerate it and it halves the bandwidth of every warp gather and
+    photometric pass; coordinates and loss accumulations stay f32).
+    """
+    if dtype is not None:
+        images = images.astype(dtype)
     h = images.shape[1] // 3
     return images[:, :h], images[:, h : 2 * h], images[:, 2 * h :]
 
@@ -110,7 +117,7 @@ class JointModel(nn.Module):
     # ------------------------------------------------------------- flow mode
     def forward_flow(self, images, K_ms, K_inv_ms, train: bool = True):
         del K_ms, K_inv_ms, train
-        img_l, img, img_r = split_stack(images)
+        img_l, img, img_r = split_stack(images, self.dtype)
         hw = (img.shape[1], img.shape[2])
 
         # One 3B-batch encoder pass + one 2B-batch decoder pass: larger
@@ -159,7 +166,7 @@ class JointModel(nn.Module):
     def forward_depth(self, images, K_ms, K_inv_ms, train: bool = True):
         del K_inv_ms
         K = K_ms[:, 0]
-        img_l, img, img_r = split_stack(images)
+        img_l, img, img_r = split_stack(images, self.dtype)
 
         img_pyr = image_pyramid(img, self.num_scales)
         img_l_pyr = image_pyramid(img_l, self.num_scales)
@@ -215,7 +222,7 @@ class JointModel(nn.Module):
         self, images, K_ms, K_inv_ms, rng=None, train: bool = True, with_masks: bool = False
     ):
         K, K_inv = K_ms[:, 0], K_inv_ms[:, 0]
-        img_l, img, img_r = split_stack(images)
+        img_l, img, img_r = split_stack(images, self.dtype)
         hw = (img.shape[1], img.shape[2])
 
         img_pyr = image_pyramid(img, self.num_scales)

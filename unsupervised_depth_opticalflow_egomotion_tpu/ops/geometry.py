@@ -82,11 +82,18 @@ def pose_vec2mat(vec: jax.Array, rotation_mode: str = "euler") -> jax.Array:
 
 
 def pixel2cam(depth: jax.Array, intrinsics_inv: jax.Array) -> jax.Array:
-    """Backproject: depth [B,H,W] + K_inv [B,3,3] -> cam points [B,H,W,3]."""
+    """Backproject: depth [B,H,W] + K_inv [B,3,3] -> cam points [B,H,W,3].
+
+    Runs in f32 even under a bf16 compute dtype -- projective coordinates
+    need the mantissa.
+    """
     b, h, w = depth.shape
-    grid = pixel_grid(h, w, depth.dtype)
-    homo = jnp.concatenate([grid, jnp.ones((h, w, 1), depth.dtype)], axis=-1)  # [H,W,3]
-    cam = jnp.einsum("bij,hwj->bhwi", intrinsics_inv, homo, precision=_HI)
+    depth = depth.astype(jnp.float32)
+    grid = pixel_grid(h, w, jnp.float32)
+    homo = jnp.concatenate([grid, jnp.ones((h, w, 1), jnp.float32)], axis=-1)  # [H,W,3]
+    cam = jnp.einsum(
+        "bij,hwj->bhwi", intrinsics_inv.astype(jnp.float32), homo, precision=_HI
+    )
     return cam * depth[..., None]
 
 
@@ -147,7 +154,7 @@ def inverse_warp2(
     """
     K_inv = jnp.linalg.inv(intrinsics)
     cam_coords = pixel2cam(depth[..., 0], K_inv)
-    proj = _mm(intrinsics, pose_vec2mat(pose))
+    proj = _mm(intrinsics, pose_vec2mat(pose.astype(jnp.float32)))
     coords, computed_depth = cam2pixel_norm(cam_coords, proj, padding_mode)
 
     valid = (jnp.max(jnp.abs(coords), axis=-1) <= 1.0).astype(img.dtype)[..., None]
@@ -173,9 +180,9 @@ def calculate_rigid_flow(depth: jax.Array, pose: jax.Array, intrinsics: jax.Arra
     b, h, w, _ = depth.shape
     K_inv = jnp.linalg.inv(intrinsics)
     cam_coords = pixel2cam(depth[..., 0], K_inv)
-    proj = _mm(intrinsics, pose_vec2mat(pose))
+    proj = _mm(intrinsics, pose_vec2mat(pose.astype(jnp.float32)))
     coords_px = cam2pixel_px(cam_coords, proj)
-    return coords_px - pixel_grid(h, w, depth.dtype)[None]
+    return coords_px - pixel_grid(h, w, jnp.float32)[None]
 
 
 def skew_symmetric(t: jax.Array) -> jax.Array:

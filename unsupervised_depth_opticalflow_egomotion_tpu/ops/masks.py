@@ -128,12 +128,15 @@ def epipolar_map(pose_vec, flow, intrinsics, intrinsics_inv):
     from .geometry import fundamental_from_pose
 
     b, h, w, _ = flow.shape
-    grid = pixel_grid(h, w, flow.dtype)[None]
+    flow = flow.astype(jnp.float32)  # pixel coords need the f32 mantissa
+    grid = pixel_grid(h, w, jnp.float32)[None]
     p1 = grid  # [B,H,W,2] (broadcast over batch)
     p2 = grid + flow
-    F = fundamental_from_pose(pose_vec, intrinsics_inv)  # [B,3,3]
+    F = fundamental_from_pose(
+        pose_vec.astype(jnp.float32), intrinsics_inv.astype(jnp.float32)
+    )  # [B,3,3]
 
-    ones = jnp.ones((b, h, w, 1), flow.dtype)
+    ones = jnp.ones((b, h, w, 1), jnp.float32)
     p1h = jnp.concatenate([jnp.broadcast_to(p1, (b, h, w, 2)), ones], axis=-1)
     p2h = jnp.concatenate([p2, ones], axis=-1)
     epi_line = jnp.einsum("bij,bhwj->bhwi", F, p1h, precision=jax.lax.Precision.HIGHEST)

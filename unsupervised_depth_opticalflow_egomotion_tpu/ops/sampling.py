@@ -22,7 +22,8 @@ from .warp import pixel_grid
 def build_matches(flow: jax.Array) -> jax.Array:
     """Flow [B,H,W,2] -> match tensor [B,N,4] of (x1, y1, x2, y2) rows."""
     b, h, w, _ = flow.shape
-    grid = jnp.broadcast_to(pixel_grid(h, w, flow.dtype)[None], (b, h, w, 2))
+    flow = flow.astype(jnp.float32)
+    grid = jnp.broadcast_to(pixel_grid(h, w, jnp.float32)[None], (b, h, w, 2))
     corres = grid + flow
     return jnp.concatenate([grid, corres], axis=-1).reshape(b, h * w, 4)
 

@@ -123,8 +123,10 @@ def warp_flow(x: jax.Array, flow: jax.Array, use_mask: bool = False) -> jax.Arra
     analytically from the sampling weights.
     """
     b, h, w, _ = x.shape
-    grid = pixel_grid(h, w, flow.dtype)[None]
-    coords = normalize_coords(grid + flow, h, w)
+    # coordinate math in f32 regardless of the image/flow compute dtype:
+    # bf16 cannot represent pixel positions beyond ~256 exactly
+    grid = pixel_grid(h, w, jnp.float32)[None]
+    coords = normalize_coords(grid + flow.astype(jnp.float32), h, w)
     out, weight = grid_sample_with_weight(x, coords)
     if use_mask:
         mask = jnp.where(weight < 0.9999, 0.0, 1.0).astype(x.dtype)
