@@ -150,5 +150,9 @@ class DepthNet(nn.Module):
 
     @nn.compact
     def __call__(self, img, train: bool = False):
+        assert min(img.shape[1], img.shape[2]) >= 64, (
+            "DepthNet needs input >= 64px per side (the 1/32-scale encoder "
+            f"features must be >= 2px for reflection padding); got {img.shape}"
+        )
         features = ResNet18Encoder(dtype=self.dtype)(img, train)
         return DepthDecoder(num_scales=self.num_scales, dtype=self.dtype)(features)

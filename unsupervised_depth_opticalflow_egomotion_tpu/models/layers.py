@@ -79,7 +79,10 @@ class ReflectConv3x3(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        x = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="reflect")
+        # width-1 reflection built from plain slices (jnp.pad mode='reflect'
+        # lowers through a generic reverse that is slower on TPU)
+        x = jnp.concatenate([x[:, 1:2], x, x[:, -2:-1]], axis=1)
+        x = jnp.concatenate([x[:, :, 1:2], x, x[:, :, -2:-1]], axis=2)
         return nn.Conv(
             self.features,
             (3, 3),
