@@ -1,0 +1,144 @@
+"""Integration tests for the eval task drivers on synthetic benchmark dirs."""
+
+import os
+
+import numpy as np
+import pytest
+
+cv2 = pytest.importorskip("cv2")
+
+import jax
+import jax.numpy as jnp
+
+from unsupervised_depth_opticalflow_egomotion_tpu import eval_tasks
+from unsupervised_depth_opticalflow_egomotion_tpu.config import Config
+from unsupervised_depth_opticalflow_egomotion_tpu.evaluation import (
+    load_gt_flow_kitti,
+    write_flow_png,
+)
+
+H, W = 64, 128
+NUM = 4
+
+
+@pytest.fixture(scope="module")
+def fake_kitti2015(tmp_path_factory):
+    """A 4-pair miniature of the KITTI-2015 layout (images + GT flow pngs)."""
+    root = tmp_path_factory.mktemp("k2015")
+    rng = np.random.RandomState(0)
+    for sub in ("image_2", "flow_occ", "flow_noc", "obj_map"):
+        os.makedirs(os.path.join(root, sub), exist_ok=True)
+    gh, gw = 48, 96
+    for i in range(NUM):
+        name = str(i).zfill(6)
+        img = rng.randint(0, 255, (gh, gw, 3), np.uint8)
+        cv2.imwrite(os.path.join(root, "image_2", f"{name}_10.png"), img)
+        cv2.imwrite(os.path.join(root, "image_2", f"{name}_11.png"), img)
+        u = rng.uniform(-3, 3, (gh, gw))
+        v = rng.uniform(-3, 3, (gh, gw))
+        valid = np.ones((gh, gw))
+        write_flow_png(os.path.join(root, "flow_occ", f"{name}_10.png"), u, v, valid)
+        write_flow_png(os.path.join(root, "flow_noc", f"{name}_10.png"), u, v, valid)
+        cv2.imwrite(
+            os.path.join(root, "obj_map", f"{name}_10.png"),
+            (rng.rand(gh, gw) > 0.8).astype(np.uint16),
+        )
+    return str(root)
+
+
+def test_flow_eval_pipeline(fake_kitti2015, tmp_path, monkeypatch):
+    # "model" that predicts zero flow -> EPE equals mean GT magnitude
+    monkeypatch.setattr(
+        eval_tasks, "KittiFlowEval",
+        lambda d, mode, img_hw: _FakeFlowSet(d, img_hw),
+    )
+    cfg = Config(img_hw=(H, W), gt_2015_dir=fake_kitti2015)
+
+    def zero_flow_fn(img1, img2):
+        return jnp.zeros(img1.shape[:3] + (2,), jnp.float32)
+
+    from unsupervised_depth_opticalflow_egomotion_tpu.evaluation.flow_metrics import (
+        _read_flow_gt_worker,
+    )
+
+    pairs = [_read_flow_gt_worker(fake_kitti2015, i) for i in range(NUM)]
+    gt_flows = [p[0] for p in pairs]
+    noc_masks = [p[1] for p in pairs]
+
+    sub_dir = str(tmp_path / "submission")
+    m = eval_tasks.test_kitti_flow(
+        cfg, zero_flow_fn, gt_flows, noc_masks, "kitti_2015", submission_dir=sub_dir
+    )
+    # zero prediction: EPE == mean |gt|
+    expect = np.mean(
+        [np.sqrt((g[:, :, 0] ** 2 + g[:, :, 1] ** 2)).mean() for g in gt_flows]
+    )
+    np.testing.assert_allclose(m["epe"], expect, rtol=0.05)
+    assert len(os.listdir(sub_dir)) == NUM
+
+
+class _FakeFlowSet:
+    def __init__(self, d, img_hw):
+        self.img_hw = img_hw
+
+    def __len__(self):
+        return NUM
+
+    def __getitem__(self, i):
+        h, w = self.img_hw
+        img = np.zeros((2 * h, w, 3), np.float32)
+        K = np.eye(3, dtype=np.float32)
+        return img, K, K
+
+
+@pytest.fixture(scope="module")
+def fake_odom(tmp_path_factory):
+    root = tmp_path_factory.mktemp("odom")
+    rng = np.random.RandomState(0)
+    seq_dir = os.path.join(root, "sequences", "09", "image_2")
+    os.makedirs(seq_dir, exist_ok=True)
+    os.makedirs(os.path.join(root, "poses"), exist_ok=True)
+    n = 6
+    for i in range(n):
+        cv2.imwrite(
+            os.path.join(seq_dir, f"{i:06d}.png"),
+            rng.randint(0, 255, (48, 96, 3), np.uint8),
+        )
+    lines = []
+    for i in range(n):
+        P = np.eye(4)
+        P[2, 3] = i * 0.5
+        lines.append(" ".join(str(v) for v in P[:3].reshape(-1)))
+    with open(os.path.join(root, "poses", "09.txt"), "w") as f:
+        f.write("\n".join(lines))
+    return str(root)
+
+
+def test_pose_eval_pipeline(fake_odom):
+    cfg = Config(img_hw=(H, W), kitti_odom_dir=fake_odom, sequences=("09",))
+
+    # "model" predicting constant forward motion matching the GT step
+    def pose_fn(imgs):
+        b = imgs.shape[0]
+        vec = jnp.zeros((b, 2, 6), jnp.float32)
+        # bwd pose (target->left): +0.5 z; fwd (target->right): -0.5 z
+        vec = vec.at[:, 0, 2].set(0.5)
+        vec = vec.at[:, 1, 2].set(-0.5)
+        return vec
+
+    mean_err, std_err = eval_tasks.test_pose_odom(cfg, pose_fn)
+    assert mean_err[0] < 1e-5  # ATE ~ 0 for exact prediction
+    assert mean_err[1] < 1e-5
+
+
+def test_single_image_demo(tmp_path):
+    rng = np.random.RandomState(0)
+    img_path = str(tmp_path / "demo.png")
+    cv2.imwrite(img_path, rng.randint(0, 255, (100, 200, 3), np.uint8))
+
+    def disp_fn(img):
+        return jnp.full(img.shape[:3] + (1,), 0.5, jnp.float32)
+
+    depth = eval_tasks.test_single_image(img_path, disp_fn, (H, W), str(tmp_path))
+    assert depth.shape == (100, 200)
+    assert os.path.isfile(os.path.join(tmp_path, "demo.png"))

@@ -65,6 +65,10 @@ class PWCDecoder(nn.Module):
 
     @nn.compact
     def __call__(self, feats1, feats2, img_hw):
+        h, w = int(img_hw[0]), int(img_hw[1])
+        assert h % 64 == 0 and w % 64 == 0, (
+            f"PWC coarse-to-fine levels need H,W divisible by 64; got {img_hw}"
+        )
         c11, c12, c13, c14, c15, c16 = feats1
         c21, c22, c23, c24, c25, c26 = feats2
 
@@ -91,7 +95,6 @@ class PWCDecoder(nn.Module):
             jnp.concatenate([flow2, x4], -1)
         )
 
-        h, w = int(img_hw[0]), int(img_hw[1])
         return [
             resize_bilinear(flow2 * 4.0, (h, w)),
             resize_bilinear(flow3 * 4.0, (h // 2, w // 2)),

@@ -26,10 +26,17 @@ def _corr_kernel(f1_ref, f2p_ref, out_ref, *, md: int, h: int, w: int, c: int):
     f1 = f1_ref[0]  # [H, W, C]
     inv_c = jnp.asarray(1.0 / c, f1_ref.dtype)
     n = 2 * md + 1
-    for i in range(n):
-        for j in range(n):
-            shifted = f2p_ref[0, i : i + h, j : j + w, :]
-            out_ref[0, :, :, i * n + j] = jnp.sum(f1 * shifted, axis=-1) * inv_c
+
+    # fori_loop over the shift grid keeps the Mosaic program small (the fully
+    # unrolled 81-slice version compiles for minutes)
+    def body(k, _):
+        i = k // n
+        j = k % n
+        shifted = f2p_ref[0, pl.ds(i, h), pl.ds(j, w), :]
+        out_ref[0, :, :, k] = jnp.sum(f1 * shifted, axis=-1) * inv_c
+        return 0
+
+    jax.lax.fori_loop(0, n * n, body, 0)
 
 
 @functools.partial(jax.jit, static_argnames=("md", "interpret"))
