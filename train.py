@@ -58,8 +58,10 @@ def prepare_data(cfg: Config) -> str:
     return data_dir
 
 
-def run_interleaved_eval(cfg: Config, model, variables, logger, step, eval_ctx):
-    flow_fn, disp_fn, _pose_fn = eval_tasks.make_inference_fns(model, variables)
+def run_interleaved_eval(cfg: Config, infer_fns, variables, logger, step, eval_ctx):
+    flow_fn_v, disp_fn_v, _pose_fn_v = infer_fns
+    flow_fn = lambda a, b: flow_fn_v(variables, a, b)
+    disp_fn = lambda a: disp_fn_v(variables, a)
     if eval_ctx.get("gt_flows_2012") is not None:
         m = eval_tasks.test_kitti_flow(
             cfg, flow_fn, eval_ctx["gt_flows_2012"], eval_ctx["noc_masks_2012"], "kitti_2012"
@@ -136,6 +138,7 @@ def train(cfg: Config):
 
     logger = MetricLogger(cfg.model_dir)
     cfg.dump(os.path.join(cfg.model_dir, "config.json"))
+    infer_fns = eval_tasks.make_inference_fns(model)  # compiled once, reused per eval
 
     rng = jax.random.PRNGKey(cfg.seed + 1)
     step = start_step
@@ -144,7 +147,7 @@ def train(cfg: Config):
             break
         if cfg.test_interval and step % cfg.test_interval == 0 and step > start_step:
             variables = {"params": state.params, "batch_stats": state.batch_stats}
-            run_interleaved_eval(cfg, model, variables, logger, step, eval_ctx)
+            run_interleaved_eval(cfg, infer_fns, variables, logger, step, eval_ctx)
 
         batch = shard_batch(tuple(batch_np), mesh)
         rng, sub = jax.random.split(rng)

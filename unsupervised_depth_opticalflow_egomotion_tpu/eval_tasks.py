@@ -38,22 +38,34 @@ def _batched(items, batch_size):
         yield items[i : i + batch_size]
 
 
-def make_inference_fns(model, variables):
-    """Jitted closures for flow / depth(disp) / pose inference."""
+def make_inference_fns(model, variables=None):
+    """Jitted flow / disp / pose inference functions.
+
+    With ``variables`` given, returns closures over them. Without, returns
+    functions taking ``variables`` as the first argument -- build these ONCE
+    and reuse across interleaved evals so updated params don't retrigger
+    compilation.
+    """
 
     @jax.jit
-    def flow_fn(img1, img2):
+    def flow_fn_v(variables, img1, img2):
         return model.apply(variables, img1, img2, method=model.inference_flow)
 
     @jax.jit
-    def disp_fn(img):
+    def disp_fn_v(variables, img):
         return model.apply(variables, img, method=model.infer_disp)
 
     @jax.jit
-    def pose_fn(imgs):
+    def pose_fn_v(variables, imgs):
         return model.apply(variables, imgs, method=model.infer_pose)
 
-    return flow_fn, disp_fn, pose_fn
+    if variables is None:
+        return flow_fn_v, disp_fn_v, pose_fn_v
+    return (
+        lambda img1, img2: flow_fn_v(variables, img1, img2),
+        lambda img: disp_fn_v(variables, img),
+        lambda imgs: pose_fn_v(variables, imgs),
+    )
 
 
 def predict_flows(cfg: Config, flow_fn, mode: str, batch_size: int = 8):
