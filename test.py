@@ -39,6 +39,7 @@ def main():
     parser.add_argument("--pretrained_model", default=None, help="checkpoint dir")
     parser.add_argument("--result_dir", default="./results")
     parser.add_argument("--write_submission", action="store_true")
+    parser.add_argument("--export_trajectory", action="store_true")
     args = parser.parse_args()
 
     cfg = load_config(args.config_file, mode=args.mode, model_dir=args.result_dir)
@@ -74,6 +75,15 @@ def main():
         print("\t {:>10}, {:>10}".format("ATE", "RE"))
         print("mean \t {:10.4f}, {:10.4f}".format(*mean_err))
         print("std \t {:10.4f}, {:10.4f}".format(*std_err))
+        if args.export_trajectory:
+            from unsupervised_depth_opticalflow_egomotion_tpu.evaluation import KittiEvalOdom
+
+            for seq in cfg.sequences:
+                out_txt = os.path.join(args.result_dir, f"{seq}_pred.txt")
+                eval_tasks.export_trajectory(cfg, pose_fn, seq, out_txt)
+                gt_txt = os.path.join(cfg.kitti_odom_dir, "poses", f"{seq}.txt")
+                if os.path.isfile(gt_txt):
+                    KittiEvalOdom().eval(gt_txt, out_txt, seq=seq)
     elif args.task == "demo":
         assert args.image_path, "--image_path required for demo"
         eval_tasks.test_single_image(args.image_path, disp_fn, cfg.img_hw, args.result_dir)

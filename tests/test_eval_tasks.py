@@ -142,3 +142,23 @@ def test_single_image_demo(tmp_path):
     depth = eval_tasks.test_single_image(img_path, disp_fn, (H, W), str(tmp_path))
     assert depth.shape == (100, 200)
     assert os.path.isfile(os.path.join(tmp_path, "demo.png"))
+
+
+def test_export_trajectory(fake_odom, tmp_path):
+    cfg = Config(img_hw=(H, W), kitti_odom_dir=fake_odom, sequences=("09",))
+
+    def pose_fn(imgs):
+        b = imgs.shape[0]
+        vec = jnp.zeros((b, 2, 6), jnp.float32)
+        vec = vec.at[:, 0, 2].set(0.5)
+        vec = vec.at[:, 1, 2].set(-0.5)
+        return vec
+
+    out_txt = str(tmp_path / "09_pred.txt")
+    eval_tasks.export_trajectory(cfg, pose_fn, "09", out_txt)
+    poses = np.loadtxt(out_txt)
+    assert poses.shape[1] == 12
+    # camera advances +0.5 z per frame (pose_fn's fwd pose is center->right
+    # = -0.5, inverted to camera motion +0.5)
+    z = poses[:, 11]
+    np.testing.assert_allclose(np.diff(z), 0.5, atol=1e-5)

@@ -175,6 +175,58 @@ def test_pose_odom(cfg: Config, pose_fn, batch_size: int = 8):
     return errors.mean(0), errors.std(0)
 
 
+def export_trajectory(cfg: Config, pose_fn, seq: str, out_txt: str, batch_size: int = 8):
+    """Chain per-snippet relative poses into a full KITTI trajectory txt.
+
+    Feeds consecutive 3-frame snippets through ``pose_fn``, uses the
+    center->right relative pose of each snippet to integrate a global
+    trajectory, and writes the 3x4 rows in KITTI odometry format so
+    ``evaluation.KittiEvalOdom.eval`` can score it against the GT poses.
+    """
+    import glob as _glob
+
+    seq_dir = os.path.join(cfg.kitti_odom_dir, "sequences", seq, "image_2")
+    frames = sorted(_glob.glob(os.path.join(seq_dir, "*.png")))
+    h, w = cfg.img_hw
+
+    rel_mats = []
+    snippets = []
+    for i in range(1, len(frames) - 1):
+        snippets.append((frames[i - 1], frames[i], frames[i + 1]))
+
+    for group_start in range(0, len(snippets), batch_size):
+        group = snippets[group_start : group_start + batch_size]
+        stack = []
+        for paths in group:
+            imgs = [
+                cv2.resize(cv2.imread(p), (w, h)).astype(np.float32) / 255.0
+                for p in paths
+            ]
+            stack.append(np.concatenate(imgs, axis=2))
+        poses = np.asarray(pose_fn(jnp.asarray(np.stack(stack))))  # [b,2,6]
+        for pvec in poses:
+            # fwd pose maps center->right; invert to get the camera motion
+            inv = np.asarray(pose_vec2mat_jnp(jnp.asarray(pvec[1:2]))).astype(np.float64)[0]
+            R = np.linalg.inv(inv[:, :3])
+            t = -R @ inv[:, 3:]
+            rel_mats.append(np.concatenate([R, t], axis=1))
+
+    # integrate: pose_0 = I; pose_{i+1} = pose_i @ rel_i
+    global_poses = [np.eye(4)]
+    for rel in rel_mats:
+        T = np.eye(4)
+        T[:3] = rel
+        global_poses.append(global_poses[-1] @ T)
+    # frame 0 and 1 share the first relative estimate's start
+    lines = []
+    for P in global_poses:
+        lines.append(" ".join(f"{v:.9e}" for v in P[:3].reshape(-1)))
+    os.makedirs(os.path.dirname(os.path.abspath(out_txt)), exist_ok=True)
+    with open(out_txt, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    return out_txt
+
+
 def test_single_image(img_path: str, disp_fn, training_hw, save_dir: str = "./"):
     """Depth demo on one image (test.py:252-264)."""
     from .visualize import save_disp_color_img

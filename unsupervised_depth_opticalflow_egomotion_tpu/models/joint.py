@@ -34,7 +34,7 @@ import jax.numpy as jnp
 from ..ops import losses as L
 from ..ops import masks as M
 from ..ops.geometry import disp2depth, projection_matrices
-from ..ops.interp import image_pyramid, resize_area
+from ..ops.interp import image_pyramid
 from ..ops.inverse_warp_multi import multiscale_reconstruction
 from ..ops.sampling import sample_matches
 from ..ops.triangulation import midpoint_triangulate, register_depth, reproject
