@@ -162,3 +162,27 @@ def test_export_trajectory(fake_odom, tmp_path):
     # = -0.5, inverted to camera motion +0.5)
     z = poses[:, 11]
     np.testing.assert_allclose(np.diff(z), 0.5, atol=1e-5)
+
+
+def test_debug_drawing(tmp_path):
+    from unsupervised_depth_opticalflow_egomotion_tpu.visualize import (
+        draw_correspondences,
+        draw_epipolar_lines,
+        save_debug_pair,
+    )
+
+    rng = np.random.RandomState(0)
+    img1 = rng.rand(40, 60, 3)
+    img2 = rng.rand(40, 60, 3)
+    matches = np.stack(
+        [rng.uniform(0, 59, 30), rng.uniform(0, 39, 30),
+         rng.uniform(0, 59, 30), rng.uniform(0, 39, 30)], 1
+    )
+    canvas = draw_correspondences(img1, img2, matches, num=10)
+    assert canvas.shape == (40, 120, 3)
+    F = np.eye(3)
+    lines_img = draw_epipolar_lines(img1, img2, F, matches[:, :2], num=5)
+    assert lines_img.shape == (40, 60, 3)
+    save_debug_pair(str(tmp_path), "dbg", canvas)
+    import os as _os
+    assert _os.path.isfile(_os.path.join(tmp_path, "dbg.png"))

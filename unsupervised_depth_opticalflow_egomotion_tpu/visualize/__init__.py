@@ -1,3 +1,10 @@
+from .debug import draw_correspondences, draw_epipolar_lines, save_debug_pair
 from .visualizer import Visualizer, save_disp_color_img
 
-__all__ = ["Visualizer", "save_disp_color_img"]
+__all__ = [
+    "draw_correspondences",
+    "draw_epipolar_lines",
+    "save_debug_pair",
+    "Visualizer",
+    "save_disp_color_img",
+]
