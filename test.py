@@ -42,7 +42,10 @@ def main():
     parser.add_argument("--export_trajectory", action="store_true")
     args = parser.parse_args()
 
-    cfg = load_config(args.config_file, mode=args.mode, model_dir=args.result_dir)
+    cfg = load_config(
+        args.config_file, mode=args.mode, model_dir=args.result_dir,
+        compute_dtype="float32",  # eval in full precision
+    )
     os.makedirs(args.result_dir, exist_ok=True)
 
     model, state = init_state(cfg, jax.random.PRNGKey(0))

@@ -138,7 +138,12 @@ def train(cfg: Config):
 
     logger = MetricLogger(cfg.model_dir)
     cfg.dump(os.path.join(cfg.model_dir, "config.json"))
-    infer_fns = eval_tasks.make_inference_fns(model)  # compiled once, reused per eval
+    # eval inference runs in f32 (shares the f32 params; only the compute
+    # dtype differs) and is compiled once, reused across interleaved evals
+    from unsupervised_depth_opticalflow_egomotion_tpu.parallel import build_model
+
+    eval_model = build_model(cfg.replace(compute_dtype="float32"))
+    infer_fns = eval_tasks.make_inference_fns(eval_model)
 
     rng = jax.random.PRNGKey(cfg.seed + 1)
     step = start_step

@@ -61,7 +61,8 @@ class Config:
 
     # precision / parallelism
     compute_dtype: str = "bfloat16"
-    remat: bool = True  # rematerialize conv stacks in backward (saves HBM)
+    remat: bool = False  # rematerialize conv stacks in backward (enable for
+    # larger batch/resolution than the default b8 256x832, which fits without)
     data_axis: str = "data"
     num_devices: int = 0  # 0 = all visible
 
