@@ -47,6 +47,13 @@ def prepare_data(cfg: Config) -> str:
     data_dir = cfg.prepared_base_dir
     if os.path.exists(os.path.join(data_dir, "train.txt")):
         return data_dir
+    if not cfg.raw_base_dir or not os.path.isdir(cfg.raw_base_dir):
+        raise FileNotFoundError(
+            f"no prepared dataset at {data_dir!r} (missing train.txt) and "
+            f"raw_base_dir={cfg.raw_base_dir!r} does not exist -- set "
+            "prepared_base_dir to an existing prepared dataset or "
+            "raw_base_dir to the KITTI raw download to prepare one"
+        )
     if cfg.dataset == "kitti_depth":
         KittiRawPrep(cfg.raw_base_dir, cfg.static_frames_txt, cfg.test_scenes_txt).prepare(
             data_dir, num_workers=cfg.num_workers

@@ -96,6 +96,15 @@ class Config:
     enable_depth_consis: bool = False
     enable_triangle: bool = False
 
+    def __post_init__(self):
+        h, w = self.img_hw
+        if h % 64 or w % 64 or h < 64 or w < 64:
+            raise ValueError(
+                f"img_hw must be multiples of 64 and >= 64 (PWC's 6-level "
+                f"coarse-to-fine pyramid and the ResNet18 skip decoder both "
+                f"require it); got {tuple(self.img_hw)}"
+            )
+
     def replace(self, **kw) -> "Config":
         return dataclasses.replace(self, **kw)
 
