@@ -105,9 +105,9 @@ class TestConfig:
     def test_yaml_roundtrip(self, tmp_path):
         p = os.path.join(tmp_path, "c.yaml")
         with open(p, "w") as f:
-            f.write("mode: flow\nimg_hw: [128, 416]\nbatch_size: 4\nunknown_key: 7\n")
+            f.write("mode: flow\nimg_hw: [128, 448]\nbatch_size: 4\nunknown_key: 7\n")
         cfg = load_config(p, lr=2e-4)
         assert cfg.mode == "flow"
-        assert cfg.img_hw == (128, 416)
+        assert cfg.img_hw == (128, 448)
         assert cfg.batch_size == 4
         assert cfg.lr == 2e-4
