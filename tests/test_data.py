@@ -90,6 +90,54 @@ class TestBatchLoader:
         b = [b[0].sum() for b in BatchLoader(ds, 2, num_workers=4, seed=3)]
         np.testing.assert_allclose(a, b)
 
+    def test_backpressure_bounds_prefetch(self):
+        """Workers must stall when the consumer does: in-flight + stored
+        batches never exceed ``prefetch`` (host memory is O(prefetch))."""
+        import threading
+        import time
+
+        calls = []
+        lock = threading.Lock()
+
+        class CountingDataset:
+            def __len__(self):
+                return 64
+
+            def __getitem__(self, idx):
+                with lock:
+                    calls.append(idx)
+                return (np.zeros((4,), np.float32),)
+
+        prefetch = 3
+        loader = BatchLoader(
+            CountingDataset(), batch_size=1, shuffle=False,
+            num_workers=4, prefetch=prefetch,
+        )
+        it = iter(loader)
+        next(it)  # consume one batch, then stall
+        time.sleep(0.5)  # give workers time to run ahead if unbounded
+        with lock:
+            produced = len(calls)
+        # 1 consumed + at most `prefetch` outstanding (slot held per decode)
+        assert produced <= 1 + prefetch, f"produced {produced} samples ahead"
+        # draining still completes in order
+        rest = list(it)
+        assert len(rest) == 63
+
+    def test_worker_error_propagates(self):
+        class FailingDataset:
+            def __len__(self):
+                return 8
+
+            def __getitem__(self, idx):
+                if idx == 3:
+                    raise ValueError("decode failed")
+                return (np.zeros((2,), np.float32),)
+
+        loader = BatchLoader(FailingDataset(), batch_size=1, shuffle=False, num_workers=2)
+        with pytest.raises(RuntimeError, match="loader worker failed"):
+            list(loader)
+
 
 class TestConfig:
     def test_defaults_match_reference_weights(self):

@@ -160,26 +160,53 @@ class BatchLoader:
             yield order[b * self.batch_size : (b + 1) * self.batch_size]
 
     def __iter__(self):
-        batch_queue: queue.Queue = queue.Queue(maxsize=self.prefetch)
+        """Bounded-prefetch iteration.
+
+        Host memory is O(prefetch): every in-flight decode or stored-but-
+        unconsumed batch holds one semaphore slot, acquired *before* a worker
+        claims a ticket and released only when the consumer yields the batch.
+        Workers therefore stall when the consumer does (e.g. during the
+        interleaved eval pauses) instead of filling the results dict without
+        bound. The consumer blocks on a condition variable rather than
+        spin-polling. Mirrors torch DataLoader's bounded prefetch behaviour
+        (/root/reference/train.py:125).
+        """
         index_queue: queue.Queue = queue.Queue()
         n_batches = len(self)
         for ticket, idxs in enumerate(self._batches()):
             index_queue.put((ticket, idxs))
 
         results: dict[int, tuple] = {}
-        results_lock = threading.Lock()
+        cond = threading.Condition()
+        slots = threading.Semaphore(max(1, self.prefetch))
         stop = threading.Event()
+        errors: list[BaseException] = []
 
         def worker():
             while not stop.is_set():
+                # acquire a prefetch slot BEFORE claiming a ticket, so the
+                # slot holders are always (up to races) the earliest pending
+                # tickets and the consumer can never deadlock waiting on a
+                # ticket whose worker is blocked on a slot
+                if not slots.acquire(timeout=0.1):
+                    continue
                 try:
                     ticket, idxs = index_queue.get_nowait()
                 except queue.Empty:
+                    slots.release()
                     return
-                samples = [self.dataset[int(i)] for i in idxs]
-                batch = tuple(np.stack(cols) for cols in zip(*samples))
-                with results_lock:
+                try:
+                    samples = [self.dataset[int(i)] for i in idxs]
+                    batch = tuple(np.stack(cols) for cols in zip(*samples))
+                except BaseException as e:  # surface decode errors to consumer
+                    with cond:
+                        errors.append(e)
+                        cond.notify_all()
+                    slots.release()
+                    return
+                with cond:
                     results[ticket] = batch
+                    cond.notify_all()
 
         threads = [threading.Thread(target=worker, daemon=True) for _ in range(self.num_workers)]
         for t in threads:
@@ -188,15 +215,16 @@ class BatchLoader:
         try:
             next_ticket = 0
             while next_ticket < n_batches:
-                with results_lock:
-                    batch = results.pop(next_ticket, None)
-                if batch is None:
-                    if not any(t.is_alive() for t in threads) and next_ticket not in results:
-                        # workers died without producing the batch
-                        raise RuntimeError("loader workers exited early")
-                    threading.Event().wait(0.002)
-                    continue
+                with cond:
+                    while next_ticket not in results:
+                        if errors:
+                            raise RuntimeError("loader worker failed") from errors[0]
+                        if not any(t.is_alive() for t in threads):
+                            raise RuntimeError("loader workers exited early")
+                        cond.wait(timeout=0.5)
+                    batch = results.pop(next_ticket)
                 yield batch
+                slots.release()  # frees one decode slot only once consumed
                 next_ticket += 1
         finally:
             stop.set()
