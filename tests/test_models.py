@@ -140,6 +140,66 @@ class TestJointModel:
                      "loss_pnp", "loss_eight_point"):
             np.testing.assert_array_equal(np.asarray(loss_pack[name]), 0.0)
 
+    def test_optional_geom_losses_enabled(self):
+        """enable_pnp / enable_eight_point / enable_triangle flip their losses
+        non-zero and gradients flow into the pose net (VERDICT r1 item 4)."""
+        model = JointModel(
+            num_scales=3,
+            enable_triangle=True,
+            enable_pnp=True,
+            enable_eight_point=True,
+            ransac_iters=8,
+            geometric_num=256,
+        )
+        images, K_ms, K_inv_ms = dummy_batch()
+
+        @jax.jit
+        def init(key, images, K_ms, K_inv_ms):
+            return model.init(
+                key, images, K_ms, K_inv_ms, rng=jax.random.PRNGKey(7),
+                train=False, method=model.forward_geom,
+            )
+
+        variables = init(KEY, images, K_ms, K_inv_ms)
+
+        @jax.jit
+        def losses(params, images, K_ms, K_inv_ms):
+            (loss_pack, _), _ = model.apply(
+                {"params": params, "batch_stats": variables["batch_stats"]},
+                images, K_ms, K_inv_ms, rng=jax.random.PRNGKey(7),
+                train=True, method=model.forward_geom, mutable=["batch_stats"],
+            )
+            return loss_pack
+
+        pack = losses(variables["params"], images, K_ms, K_inv_ms)
+        for name in ("loss_triangle", "loss_pnp", "loss_eight_point"):
+            v = np.asarray(pack[name])
+            assert np.all(np.isfinite(v)), name
+            assert np.any(v != 0.0), name
+
+        @jax.jit
+        def pose_grad_norm(params, images, K_ms, K_inv_ms):
+            def scalar(p):
+                pack = losses(p, images, K_ms, K_inv_ms)
+                return jnp.mean(pack["loss_pnp"]) + jnp.mean(pack["loss_eight_point"])
+
+            g = jax.grad(scalar)(params)
+            leaves = jax.tree_util.tree_leaves(
+                {k: v for k, v in g.items() if "pose" in k}
+            )
+            return sum(jnp.sum(jnp.abs(l)) for l in leaves)
+
+        gn = float(pose_grad_norm(variables["params"], images, K_ms, K_inv_ms))
+        assert np.isfinite(gn) and gn > 0.0
+
+    def test_forward_geom_requires_rng_when_sampling(self):
+        model = JointModel(num_scales=3, enable_pnp=True, geometric_num=64, ransac_iters=4)
+        images, K_ms, K_inv_ms = dummy_batch()
+        with pytest.raises(ValueError, match="requires `rng`"):
+            model.init(
+                KEY, images, K_ms, K_inv_ms, train=False, method=model.forward_geom
+            )
+
     def test_forward_flow_losses(self, joint_model):
         model, variables = joint_model
         images, K_ms, K_inv_ms = dummy_batch()

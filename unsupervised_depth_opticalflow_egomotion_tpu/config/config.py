@@ -95,6 +95,8 @@ class Config:
     enable_depth_ssim: bool = False
     enable_depth_consis: bool = False
     enable_triangle: bool = False
+    enable_pnp: bool = False
+    enable_eight_point: bool = False
 
     def __post_init__(self):
         h, w = self.img_hw

@@ -33,9 +33,11 @@ import jax.numpy as jnp
 
 from ..ops import losses as L
 from ..ops import masks as M
-from ..ops.geometry import disp2depth, projection_matrices
+from ..ops.geometry import disp2depth, fundamental_from_pose, projection_matrices
 from ..ops.interp import image_pyramid
 from ..ops.inverse_warp_multi import multiscale_reconstruction
+from ..ops.pnp import batched_pnp
+from ..ops.ransac import batched_ransac_fundamental
 from ..ops.sampling import sample_matches
 from ..ops.triangulation import midpoint_triangulate, register_depth, reproject
 from ..ops.warp import warp_flow
@@ -76,6 +78,9 @@ class JointModel(nn.Module):
     enable_depth_ssim: bool = False
     enable_depth_consis: bool = False
     enable_triangle: bool = False
+    enable_pnp: bool = False
+    enable_eight_point: bool = False
+    ransac_iters: int = 100
     remat: bool = True
     dtype: Any = jnp.float32
 
@@ -358,18 +363,38 @@ class JointModel(nn.Module):
             "loss_eight_point": zero,
         }
 
-        if self.enable_triangle:
-            key = rng if rng is not None else jax.random.PRNGKey(0)
-            k_bwd, k_fwd = jax.random.split(key)
-            m_bwd, _ = sample_matches(
+        need_samples = self.enable_triangle or self.enable_pnp or self.enable_eight_point
+        if need_samples:
+            if rng is None:
+                # fail loudly: a PRNGKey(0) fallback would make every sampled
+                # match set identical across steps and silently bias the
+                # geometric losses
+                raise ValueError(
+                    "forward_geom requires `rng` when triangle/pnp/eight_point "
+                    "losses are enabled"
+                )
+            k_bwd, k_fwd, k8_bwd, k8_fwd = jax.random.split(rng, 4)
+            # sample_match(flow[0], disp[0], flow_diff_scores[0])
+            # (model_geometry.py:824-826): one sampled set feeds all three
+            # geometric losses
+            m_bwd, d_bwd = sample_matches(
                 k_bwd, flows_bwd[0], disp[0], fds_bwd[0], self.geometric_ratio, self.geometric_num
             )
-            m_fwd, _ = sample_matches(
+            m_fwd, d_fwd = sample_matches(
                 k_fwd, flows_fwd[0], disp[0], fds_fwd[0], self.geometric_ratio, self.geometric_num
             )
+        if self.enable_triangle:
             loss_pack["loss_triangle"] = self._triangle_loss(
                 m_bwd, pose_bwd, K, K_inv, disp[0], disp_l[0]
             ) + self._triangle_loss(m_fwd, pose_fwd, K, K_inv, disp[0], disp_r[0])
+        if self.enable_pnp:
+            loss_pack["loss_pnp"] = self._pnp_loss(
+                m_bwd, d_bwd, pose_bwd, K, K_inv
+            ) + self._pnp_loss(m_fwd, d_fwd, pose_fwd, K, K_inv)
+        if self.enable_eight_point:
+            loss_pack["loss_eight_point"] = self._eight_point_loss(
+                k8_bwd, m_bwd, pose_bwd, K_inv
+            ) + self._eight_point_loss(k8_fwd, m_fwd, pose_fwd, K_inv)
 
         aux = {}
         if with_masks:
@@ -385,6 +410,79 @@ class JointModel(nn.Module):
                 "pred_flow_fwd": flows_fwd[0],
             }
         return loss_pack, aux
+
+    def _pnp_loss(self, match, depth_sampled, pose, K, K_inv):
+        """PnP-consistency pose loss (model_geometry.py:473-530).
+
+        3D points are back-projected sampled matches scaled by the sampled
+        disp value (the reference feeds ``disp_list[0]`` as "depth" --
+        preserved quirk); the on-device Gauss-Newton PnP replaces the
+        reference's per-item cv2.solvePnP(Ransac) host calls. The solver
+        output is stop-gradiented, mirroring the reference's non-differentiable
+        OpenCV prediction: gradients pull pose_net toward the PnP estimate.
+        """
+        match = match.astype(jnp.float32)
+        depth_sampled = depth_sampled.astype(jnp.float32)
+        xy = match[..., :2]
+        ones = jnp.ones_like(xy[..., :1])
+        pts3d = (
+            jnp.einsum(
+                "bij,bnj->bni",
+                K_inv.astype(jnp.float32),
+                jnp.concatenate([xy, ones], axis=-1),
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            * depth_sampled
+        )
+        corres = match[..., 2:]
+        # inputs stop-gradiented like the reference's .detach() before cv2
+        # (model_geometry.py:481-483); [B,6] = [tvec | rvec], same layout as
+        # pose_vec
+        pred = batched_pnp(
+            jax.lax.stop_gradient(pts3d),
+            jax.lax.stop_gradient(corres),
+            K.astype(jnp.float32),
+        )
+        pose = pose.astype(jnp.float32)
+        pos_l = jnp.abs(pred[:, :3] - pose[:, :3])
+        rot_l = jnp.abs(pred[:, 3:] - pose[:, 3:])
+        return jnp.mean(pos_l + self.pose_beta * rot_l, axis=1)
+
+    def _eight_point_loss(self, key, match, pose, K_inv):
+        """Fundamental-matrix consistency loss (model_geometry.py:548-566).
+
+        F is estimated from the sampled matches by the on-device batched
+        8-point RANSAC (replacing per-item cv2.findFundamentalMat) under
+        stop_gradient, and compared to F(pose) = K^-T [t]x R K^-1 with a
+        smooth-L1. Deliberate fixes over the reference's (shipped-disabled)
+        version: both matrices are unit-Frobenius normalized and the estimate's
+        sign is aligned to the prediction, so the loss is invariant to the
+        projective scale/sign ambiguity of F (the reference compares a
+        cv2-normalized F against an arbitrarily-scaled prediction).
+        """
+        # inputs stop-gradiented like the reference's .detach() before cv2
+        # (model_geometry.py:537-541); also keeps the 8-point SVD out of the
+        # JVP graph (full-matrices SVD has no JVP rule)
+        match = jax.lax.stop_gradient(match.astype(jnp.float32))
+        p1 = match[..., :2]
+        p2 = match[..., 2:]
+        F_hat, _ = batched_ransac_fundamental(
+            key, p1, p2, iters=self.ransac_iters, thres=0.1
+        )  # unit Frobenius by construction
+        F_pred = fundamental_from_pose(
+            pose.astype(jnp.float32), K_inv.astype(jnp.float32)
+        )
+        F_pred = F_pred / (
+            jnp.linalg.norm(F_pred, axis=(1, 2), keepdims=True) + 1e-12
+        )
+        sign = jnp.sign(
+            jnp.sum(F_hat * jax.lax.stop_gradient(F_pred), axis=(1, 2), keepdims=True)
+        )
+        sign = jnp.where(sign == 0, 1.0, sign)
+        diff = F_pred - sign * F_hat
+        ad = jnp.abs(diff)
+        huber = jnp.where(ad < 1.0, 0.5 * diff * diff, ad - 0.5)
+        return jnp.mean(huber, axis=(1, 2))
 
     def _triangle_loss(self, match, pose, K, K_inv, disp1, disp2):
         """Triangulated-depth registration loss (model_geometry.py:670-683)."""

@@ -50,6 +50,9 @@ def build_model(cfg: Config) -> JointModel:
         enable_depth_ssim=cfg.enable_depth_ssim,
         enable_depth_consis=cfg.enable_depth_consis,
         enable_triangle=cfg.enable_triangle,
+        enable_pnp=cfg.enable_pnp,
+        enable_eight_point=cfg.enable_eight_point,
+        ransac_iters=cfg.ransac_iters,
         remat=cfg.remat,
         dtype=dtype,
     )
