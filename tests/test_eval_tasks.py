@@ -157,11 +157,114 @@ def test_export_trajectory(fake_odom, tmp_path):
     out_txt = str(tmp_path / "09_pred.txt")
     eval_tasks.export_trajectory(cfg, pose_fn, "09", out_txt)
     poses = np.loadtxt(out_txt)
-    assert poses.shape[1] == 12
+    assert poses.shape == (6, 12)  # one pose per frame (frame0->1 edge from
+    # the first snippet's inverted bwd pose)
     # camera advances +0.5 z per frame (pose_fn's fwd pose is center->right
     # = -0.5, inverted to camera motion +0.5)
     z = poses[:, 11]
     np.testing.assert_allclose(np.diff(z), 0.5, atol=1e-5)
+
+
+def test_two_view_flow_path(fake_kitti2015, monkeypatch):
+    """predict_flows(two_view_fn=...) drives the legacy inference surface and
+    threads K/K_inv through (reference test.py:33,64)."""
+    monkeypatch.setattr(
+        eval_tasks, "KittiFlowEval", lambda d, mode, img_hw: _FakeFlowSet(d, img_hw)
+    )
+    cfg = Config(img_hw=(H, W), gt_2015_dir=fake_kitti2015)
+    calls = []
+
+    def tv_fn(img1, img2, K, K_inv):
+        calls.append(K.shape)
+        flow = jnp.ones(img1.shape[:3] + (2,), jnp.float32)
+        return flow, None, None, None
+
+    flows = eval_tasks.predict_flows(cfg, None, "kitti_2015", two_view_fn=tv_fn)
+    assert len(flows) == NUM
+    assert all(f.shape == (H, W, 2) for f in flows)
+    assert calls and all(s[1:] == (3, 3) for s in calls)
+
+
+def test_nyu_depth_eval(tmp_path):
+    """NYU labeled-mat reader + depth eval with log10 metrics (test.py:210-250)."""
+    h5py = pytest.importorskip("h5py")
+    sio = pytest.importorskip("scipy.io")
+    from unsupervised_depth_opticalflow_egomotion_tpu.data import (
+        load_nyu_test_data,
+        test_nyu_depth,
+    )
+
+    rng = np.random.RandomState(0)
+    n, ih, iw = 3, 480, 640
+    # the labeled mat stores images [N,3,W,H] and depths [N,W,H]
+    with h5py.File(os.path.join(tmp_path, "nyu_depth_v2_labeled.mat"), "w") as f:
+        f["images"] = rng.randint(0, 255, (n, 3, iw, ih), np.uint8)
+        f["depths"] = rng.uniform(1.0, 5.0, (n, iw, ih)).astype(np.float32)
+    sio.savemat(
+        os.path.join(tmp_path, "splits.mat"),
+        {"testNdxs": np.array([[1], [3]], np.int64)},
+    )
+
+    imgs, depths = load_nyu_test_data(str(tmp_path))
+    assert imgs.shape == (2, 3, ih, iw)
+    assert depths.shape == (2, ih, iw)
+
+    cfg = Config(img_hw=(H, W), nyu_test_dir=str(tmp_path))
+
+    def disp_fn(img):
+        return jnp.full(img.shape[:3] + (1,), 0.5, jnp.float32)
+
+    res = test_nyu_depth(cfg, disp_fn, imgs, depths)
+    assert len(res) == 7
+    assert np.all(np.isfinite(res))
+
+
+def test_nyu_prep_roundtrip(tmp_path):
+    """NyuPrep writes the shared prepared format the training loader reads."""
+    from unsupervised_depth_opticalflow_egomotion_tpu.data import (
+        KittiPreparedDataset,
+        NyuPrep,
+    )
+
+    rng = np.random.RandomState(0)
+    raw = tmp_path / "raw"
+    for scene in ("scene_a", "scene_b"):
+        os.makedirs(raw / scene)
+        for i in range(6):
+            cv2.imwrite(str(raw / scene / f"{i:04d}.png"),
+                        rng.randint(0, 255, (48, 96, 3), np.uint8))
+    out = str(tmp_path / "prepared")
+    index = NyuPrep(str(raw)).prepare(out, stride=2, num_workers=2)
+    assert os.path.isfile(index)
+    ds = KittiPreparedDataset(out, num_scales=2, img_hw=(32, 64))
+    assert ds.count() == 4  # 2 scenes x (6 - 2*2) starts
+    img, K_ms, _ = ds[0]
+    assert img.shape == (96, 64, 3)
+    # NYU intrinsics rescaled from 640x480 to 64x32
+    np.testing.assert_allclose(K_ms[0][0, 0], 518.8579 * 64 / 96, rtol=1e-4)
+
+
+def test_dump_mask_pack(tmp_path):
+    """Training-time image observability: mask/disp/flow PNG dump."""
+    from unsupervised_depth_opticalflow_egomotion_tpu.visualize import dump_mask_pack
+
+    rng = np.random.RandomState(0)
+    aux = {
+        "occ_fwd_mask": rng.rand(2, H, W, 1).astype(np.float32),
+        "rigid_fwd_mask": rng.rand(2, H, W, 1).astype(np.float32),
+        "inlier_fwd_mask": rng.rand(2, H, W, 1).astype(np.float32),
+        "dyna_fwd_mask": rng.rand(2, H, W, 1).astype(np.float32),
+        "valid_fwd_mask": rng.rand(2, H, W, 1).astype(np.float32),
+        "fwd_mask": rng.rand(2, H, W, 1).astype(np.float32),
+        "texture_mask_fwd": rng.rand(2, H, W, 1).astype(np.float32),
+        "pred_disp": rng.rand(2, H, W, 1).astype(np.float32),
+        "pred_flow_fwd": rng.rand(2, H, W, 2).astype(np.float32),
+    }
+    center = rng.rand(H, W, 3).astype(np.float32)
+    out = dump_mask_pack(aux, center, str(tmp_path), step=120)
+    files = sorted(os.listdir(out))
+    assert len(files) == 10  # 7 masks + disp + flow + center image
+    assert "pred_disp.png" in files and "center_image.png" in files
 
 
 def test_debug_drawing(tmp_path):

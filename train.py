@@ -60,6 +60,14 @@ def prepare_data(cfg: Config) -> str:
         )
     elif cfg.dataset == "kitti_odo":
         KittiOdoPrep(cfg.raw_base_dir).prepare(data_dir, num_workers=cfg.num_workers)
+    elif cfg.dataset == "nyu":
+        # NYU scene dirs -> 3-frame stacks in the shared prepared format
+        # (reference train.py:111-121; nyu_v2.py is missing upstream)
+        from unsupervised_depth_opticalflow_egomotion_tpu.data import NyuPrep
+
+        NyuPrep(cfg.raw_base_dir).prepare(
+            data_dir, stride=cfg.nyu_stride, num_workers=cfg.num_workers
+        )
     else:
         raise NotImplementedError(cfg.dataset)
     return data_dir
@@ -93,6 +101,19 @@ def run_interleaved_eval(cfg: Config, infer_fns, variables, logger, step, eval_c
             logger.add_eval(step, "eigen_depth", m)
         except FileNotFoundError as e:
             print(f"[EVAL {step}] eigen depth skipped: {e}")
+    # pose eval for odometry runs (the reference never evals pose mid-training;
+    # without this an odometry-preset geom run has no in-training pose signal)
+    if cfg.mode in ("depth", "geom") and cfg.kitti_odom_dir:
+        try:
+            pose_fn = lambda imgs: _pose_fn_v(variables, imgs)
+            mean_err, std_err = eval_tasks.test_pose_odom(cfg, pose_fn)
+            print(
+                f"[EVAL {step}] pose ATE={mean_err[0]:.4f}+-{std_err[0]:.4f} "
+                f"RE={mean_err[1]:.4f}+-{std_err[1]:.4f}"
+            )
+            logger.add_eval(step, "pose_odom", (mean_err, std_err))
+        except FileNotFoundError as e:
+            print(f"[EVAL {step}] pose eval skipped: {e}")
 
 
 def train(cfg: Config):
@@ -152,6 +173,18 @@ def train(cfg: Config):
     eval_model = build_model(cfg.replace(compute_dtype="float32"))
     infer_fns = eval_tasks.make_inference_fns(eval_model)
 
+    # periodic mask/disp/flow image dumps (reference train.py:177-209 logs 10
+    # images every 10x vis_interval); a separate jitted forward off the hot path
+    mask_fn = None
+    if cfg.mode == "geom" and cfg.log_interval:
+        @jax.jit
+        def mask_fn(variables, images, K_ms, K_inv_ms):
+            _, aux = eval_model.apply(
+                variables, images, K_ms, K_inv_ms, train=False,
+                method=eval_model.forward_geom, with_masks=True,
+            )
+            return aux
+
     rng = jax.random.PRNGKey(cfg.seed + 1)
     step = start_step
     for batch_np in loader:
@@ -170,6 +203,16 @@ def train(cfg: Config):
             scalars = {k: float(v) for k, v in metrics.items()}
             logger.add_scalars(step, scalars)
             logger.print_losses(step, cfg.num_iterations, scalars)
+        if mask_fn is not None and step % (10 * cfg.log_interval) == 0:
+            from unsupervised_depth_opticalflow_egomotion_tpu.visualize import dump_mask_pack
+
+            variables = {"params": state.params, "batch_stats": state.batch_stats}
+            aux = jax.device_get(mask_fn(variables, *batch))
+            h = batch_np[0].shape[1] // 3
+            dump_mask_pack(
+                aux, batch_np[0][0, h : 2 * h], os.path.join(cfg.model_dir, "images"),
+                step, logger,
+            )
         if cfg.save_interval and step % cfg.save_interval == 0:
             ckpt.save(step, jax.device_get(state))
             logger.dump()

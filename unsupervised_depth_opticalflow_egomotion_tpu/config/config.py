@@ -22,7 +22,7 @@ class Config:
     # identification / mode
     cfg_name: str = "default"
     mode: str = "geom"  # flow | depth | geom
-    dataset: str = "kitti_depth"  # kitti_depth | kitti_odo
+    dataset: str = "kitti_depth"  # kitti_depth | kitti_odo | nyu
 
     # dataset paths
     raw_base_dir: str = ""
@@ -34,6 +34,8 @@ class Config:
     test_scenes_txt: str = ""
     eigen_test_files_txt: str = ""
     eigen_gt_depths_npz: str = ""
+    nyu_test_dir: str = ""  # dir holding nyu_depth_v2_labeled.mat + splits.mat
+    nyu_stride: int = 10  # frame stride for NYU 3-frame stacks
     sequences: tuple = ("09",)
 
     # model geometry

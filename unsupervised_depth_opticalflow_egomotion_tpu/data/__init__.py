@@ -3,6 +3,7 @@
 from .kitti_flow import KittiFlowEval
 from .kitti_pose import KittiPoseEval
 from .kitti_prep import KittiOdoPrep, KittiRawPrep
+from .nyu import NyuPrep, load_nyu_test_data, test_nyu_depth
 from .loader import (
     BatchLoader,
     KittiPreparedDataset,
@@ -16,6 +17,9 @@ __all__ = [
     "KittiPoseEval",
     "KittiOdoPrep",
     "KittiRawPrep",
+    "NyuPrep",
+    "load_nyu_test_data",
+    "test_nyu_depth",
     "BatchLoader",
     "KittiPreparedDataset",
     "multiscale_intrinsics",

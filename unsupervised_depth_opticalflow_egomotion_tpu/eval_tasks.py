@@ -68,30 +68,57 @@ def make_inference_fns(model, variables=None):
     )
 
 
-def predict_flows(cfg: Config, flow_fn, mode: str, batch_size: int = 8):
-    """Run flow inference over a KITTI flow benchmark -> list of [h,w,2]."""
+def make_two_view_inference_fn(tv_model, variables):
+    """Jitted legacy two-view inference (TriangulationPoseModel.inference):
+    (img1, img2, K, K_inv) -> (flow, disp1, disp2, Rt)."""
+
+    @jax.jit
+    def tv_fn_v(variables, img1, img2, K, K_inv):
+        flow, disp1, disp2, Rt, _P2, _tri = tv_model.apply(
+            variables, img1, img2, K, K_inv, method=tv_model.inference
+        )
+        return flow, disp1, disp2, Rt
+
+    return lambda img1, img2, K, K_inv: tv_fn_v(variables, img1, img2, K, K_inv)
+
+
+def predict_flows(cfg: Config, flow_fn, mode: str, batch_size: int = 8,
+                  two_view_fn=None):
+    """Run flow inference over a KITTI flow benchmark -> list of [h,w,2].
+
+    With ``two_view_fn`` the flow comes from the legacy two-view pipeline
+    (reference test.py:33,64: ``model.inference(img1, img2, K, K_inv)`` in the
+    non-geom branch). Samples are decoded batch-by-batch so only one batch is
+    resident on the host at a time.
+    """
     dataset = KittiFlowEval(
         cfg.gt_2012_dir if mode == "kitti_2012" else cfg.gt_2015_dir,
         mode=mode,
         img_hw=cfg.img_hw,
     )
-    samples = [dataset[i] for i in range(len(dataset))]
     flows = []
-    for group in _batched(samples, batch_size):
+    for group_idx in _batched(list(range(len(dataset))), batch_size):
+        group = [dataset[i] for i in group_idx]
         imgs = np.stack([s[0] for s in group])  # [b, 2H, W, 3]
         h = imgs.shape[1] // 2
         img1 = jnp.asarray(imgs[:, :h])
         img2 = jnp.asarray(imgs[:, h:])
-        flow = np.asarray(flow_fn(img1, img2))
+        if two_view_fn is not None:
+            K = jnp.asarray(np.stack([s[1] for s in group]))
+            K_inv = jnp.asarray(np.stack([s[2] for s in group]))
+            flow = np.asarray(two_view_fn(img1, img2, K, K_inv)[0])
+        else:
+            flow = np.asarray(flow_fn(img1, img2))
         flows.extend(flow[i] for i in range(flow.shape[0]))
     return flows
 
 
 def test_kitti_flow(cfg: Config, flow_fn, gt_flows, noc_masks, mode: str,
-                    moving_masks=None, submission_dir: str | None = None):
+                    moving_masks=None, submission_dir: str | None = None,
+                    two_view_fn=None):
     """Flow benchmark eval; optionally writes 16-bit submission PNGs
     (test.py:267-312)."""
-    flows = predict_flows(cfg, flow_fn, mode)
+    flows = predict_flows(cfg, flow_fn, mode, two_view_fn=two_view_fn)
     if submission_dir:
         os.makedirs(submission_dir, exist_ok=True)
         for i, f in enumerate(flows):
@@ -194,6 +221,14 @@ def export_trajectory(cfg: Config, pose_fn, seq: str, out_txt: str, batch_size: 
     for i in range(1, len(frames) - 1):
         snippets.append((frames[i - 1], frames[i], frames[i + 1]))
 
+    def _motion_from_pvec(pvec_row):
+        """Camera motion 3x4 from a warp pose vector (invert the transform)."""
+        inv = np.asarray(pose_vec2mat_jnp(jnp.asarray(pvec_row))).astype(np.float64)[0]
+        R = np.linalg.inv(inv[:, :3])
+        t = -R @ inv[:, 3:]
+        return np.concatenate([R, t], axis=1)
+
+    first_bwd = None
     for group_start in range(0, len(snippets), batch_size):
         group = snippets[group_start : group_start + batch_size]
         stack = []
@@ -205,19 +240,23 @@ def export_trajectory(cfg: Config, pose_fn, seq: str, out_txt: str, batch_size: 
             stack.append(np.concatenate(imgs, axis=2))
         poses = np.asarray(pose_fn(jnp.asarray(np.stack(stack))))  # [b,2,6]
         for pvec in poses:
+            if first_bwd is None:
+                # the first snippet's bwd pose gives frame1->frame0 motion;
+                # its inverse is the frame0->frame1 edge, closing the
+                # one-frame gap at the head of the trajectory
+                M = np.eye(4)
+                M[:3] = _motion_from_pvec(pvec[0:1])
+                first_bwd = np.linalg.inv(M)[:3]
             # fwd pose maps center->right; invert to get the camera motion
-            inv = np.asarray(pose_vec2mat_jnp(jnp.asarray(pvec[1:2]))).astype(np.float64)[0]
-            R = np.linalg.inv(inv[:, :3])
-            t = -R @ inv[:, 3:]
-            rel_mats.append(np.concatenate([R, t], axis=1))
+            rel_mats.append(_motion_from_pvec(pvec[1:2]))
 
-    # integrate: pose_0 = I; pose_{i+1} = pose_i @ rel_i
+    # integrate: pose_0 = I; pose_1 = inv(first bwd); pose_{i+1} = pose_i @ rel_i
+    rel_mats = ([first_bwd] if first_bwd is not None else []) + rel_mats
     global_poses = [np.eye(4)]
     for rel in rel_mats:
         T = np.eye(4)
         T[:3] = rel
         global_poses.append(global_poses[-1] @ T)
-    # frame 0 and 1 share the first relative estimate's start
     lines = []
     for P in global_poses:
         lines.append(" ".join(f"{v:.9e}" for v in P[:3].reshape(-1)))

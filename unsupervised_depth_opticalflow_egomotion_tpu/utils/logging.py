@@ -40,6 +40,17 @@ class MetricLogger:
     def add_eval(self, step: int, name: str, values) -> None:
         self.history[f"eval/{name}"].append((step, values))
 
+    def add_image(self, step: int, name: str, img: "object") -> None:
+        """TB image ([H,W] or [H,W,3] uint8); no-op without tensorboardX."""
+        if self._tb is None:
+            return
+        import numpy as np
+
+        arr = np.asarray(img)
+        if arr.ndim == 2:
+            arr = np.stack([arr] * 3, axis=-1)
+        self._tb.add_image(name, arr.transpose(2, 0, 1), step)
+
     def print_losses(self, step: int, total_steps: int, scalars: dict) -> None:
         elapsed = time.time() - self._t0
         parts = ", ".join(f"{k.removeprefix('loss_')}={v:.4f}" for k, v in scalars.items())

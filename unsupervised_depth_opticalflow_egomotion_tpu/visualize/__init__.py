@@ -1,5 +1,5 @@
 from .debug import draw_correspondences, draw_epipolar_lines, save_debug_pair
-from .visualizer import Visualizer, save_disp_color_img
+from .visualizer import Visualizer, dump_mask_pack, save_disp_color_img
 
 __all__ = [
     "draw_correspondences",
@@ -7,4 +7,5 @@ __all__ = [
     "save_debug_pair",
     "Visualizer",
     "save_disp_color_img",
+    "dump_mask_pack",
 ]

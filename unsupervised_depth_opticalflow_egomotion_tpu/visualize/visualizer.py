@@ -64,3 +64,38 @@ class Visualizer:
         if arr.max() <= 1.0:
             arr = arr * 255
         cv2.imwrite(os.path.join(self.dump_dir, f"{name}.png"), arr.astype(np.uint8))
+
+
+def dump_mask_pack(aux: dict, center_image: np.ndarray, out_dir: str, step: int,
+                   logger=None) -> str:
+    """Write the geom forward's debug mask pack as PNGs (+ TB images).
+
+    Mirrors the reference's 10-image training dump (train.py:177-209): the
+    seven fused/intermediate masks, colormapped disp, flow color wheel, and
+    the input center frame, all for batch item 0. ``aux`` is
+    ``forward_geom(with_masks=True)``'s aux dict of [B,...] arrays.
+    """
+    step_dir = os.path.join(out_dir, f"step_{step:08d}")
+    viz = Visualizer(step_dir)
+    for name in (
+        "occ_fwd_mask", "rigid_fwd_mask", "inlier_fwd_mask", "dyna_fwd_mask",
+        "valid_fwd_mask", "fwd_mask", "texture_mask_fwd",
+    ):
+        if name in aux:
+            viz.save_mask(np.asarray(aux[name])[0], name)
+    if "pred_disp" in aux:
+        viz.save_disp(np.asarray(aux["pred_disp"])[0], "pred_disp")
+    if "pred_flow_fwd" in aux:
+        viz.save_flow(np.asarray(aux["pred_flow_fwd"])[0], "pred_flow_fwd")
+    if center_image is not None:
+        viz.save_image(np.asarray(center_image), "center_image")
+    if logger is not None:
+        for name in ("fwd_mask", "dyna_fwd_mask", "occ_fwd_mask"):
+            if name in aux:
+                m = np.asarray(aux[name])[0]
+                logger.add_image(step, f"masks/{name}", (255 * np.squeeze(m)).astype(np.uint8))
+        if "pred_disp" in aux:
+            logger.add_image(step, "pred/disp", _colormap(np.squeeze(np.asarray(aux["pred_disp"])[0])))
+        if "pred_flow_fwd" in aux:
+            logger.add_image(step, "pred/flow_fwd", flow_to_image(np.asarray(aux["pred_flow_fwd"])[0]))
+    return step_dir
