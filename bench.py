@@ -5,11 +5,13 @@ Measures the flagship geom-mode train step (batch 8, 256x832, bf16 compute --
 the reference's training configuration, /root/reference/config/kitti_geom.yaml:17,50)
 on the attached TPU chip and prints ONE JSON line.
 
-``vs_baseline`` compares frames/sec/chip against an estimated 40 fps for the
-reference PyTorch implementation on A100 (the reference publishes no speed
-numbers; 40 fps ~= 5 steps/s at batch 8 for a naive-correlation PWC + 3x
-ResNet18 fwd+bwd at 256x832). The driver's north star is 5x that, i.e.
-vs_baseline >= 5.
+``vs_baseline`` compares frames/sec/chip against 40 fps for the reference
+PyTorch implementation on A100. The reference publishes no speed numbers;
+the 40 fps anchor is derived in BASELINE.md ("Reference throughput") from a
+measured torch-CPU step time of the reference (scripts/bench_reference.py:
+8.38 s/step b1 on this host) plus an A100 TF32 FLOP roofline computed from
+this step's own XLA cost analysis. The driver's north star is 5x that, i.e.
+vs_baseline >= 5. Also prints flops_per_step and mfu vs the chip's bf16 peak.
 """
 
 from __future__ import annotations
@@ -19,7 +21,21 @@ import time
 
 import numpy as np
 
+# Reference throughput anchor. The reference publishes no speed numbers, so
+# this is derived in BASELINE.md ("Reference throughput" section) from (a) a
+# measured torch-CPU step time of the reference's geom train step
+# (scripts/bench_reference.py) and (b) a FLOP roofline for A100 computed from
+# this step's own XLA cost analysis (the loss graph and networks match the
+# reference's). See BASELINE.md for the full methodology.
 BASELINE_A100_FPS = 40.0
+
+# bf16 peak matmul FLOP/s per chip, for the MFU readout.
+PEAK_FLOPS = {
+    "TPU v5 lite": 197e12,  # v5e
+    "TPU v5": 459e12,  # v5p
+    "TPU v4": 275e12,
+    "TPU v6 lite": 918e12,  # v6e
+}
 
 
 def main():
@@ -57,6 +73,17 @@ def main():
     )
 
     key = jax.random.PRNGKey(1)
+    # FLOPs of the whole compiled step, for the MFU readout (donated buffers:
+    # lower on a fresh state copy so the timed loop below owns its state)
+    flops = None
+    try:
+        cost = step_fn.lower(state, batch, key).compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        flops = float(cost.get("flops", 0.0)) or None
+    except Exception:
+        pass
+
     # warmup / compile; fetch the loss to the host to force full completion
     # (block_until_ready alone is unreliable through the device relay)
     state, metrics = step_fn(state, batch, key)
@@ -77,6 +104,12 @@ def main():
         "unit": "frames/s/chip",
         "vs_baseline": round(fps_per_chip / BASELINE_A100_FPS, 3),
     }
+    if flops:
+        kind = jax.devices()[0].device_kind
+        peak = PEAK_FLOPS.get(kind)
+        result["flops_per_step"] = flops
+        if peak:
+            result["mfu"] = round(flops * steps_per_s / peak, 4)
     print(json.dumps(result))
 
 
