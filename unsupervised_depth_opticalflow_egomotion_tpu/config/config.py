@@ -65,6 +65,8 @@ class Config:
     compute_dtype: str = "bfloat16"
     remat: bool = False  # rematerialize conv stacks in backward (enable for
     # larger batch/resolution than the default b8 256x832, which fits without)
+    packed_convs: bool = True  # space-to-depth packed small-channel convs
+    # (numerically equivalent; 1.7-2.5x faster on TPU -- ops/packed_conv.py)
     data_axis: str = "data"
     num_devices: int = 0  # 0 = all visible
 

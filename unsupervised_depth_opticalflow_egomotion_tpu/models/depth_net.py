@@ -23,6 +23,7 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from ..ops.interp import upsample2x_bilinear
+from ..ops.packed_conv import depth_to_space, space_to_depth
 from .layers import ReflectConv3x3, kaiming_normal_out, max_pool_3x3_s2_p1
 
 _DEC_CH = (16, 32, 64, 128, 256)
@@ -115,30 +116,66 @@ class ConvBlock(nn.Module):
     """ReflectConv3x3 + ELU (depth_model.py:97-109)."""
 
     features: int
+    packed: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):
-        return nn.elu(ReflectConv3x3(self.features, dtype=self.dtype)(x))
+        return nn.elu(
+            ReflectConv3x3(self.features, packed=self.packed, dtype=self.dtype)(x)
+        )
 
 
 class DepthDecoder(nn.Module):
+    """Skip decoder with sigmoid disp heads (depth_model.py:135-191).
+
+    With ``packed=True`` the 16/32-channel segment (scales 1-0, the
+    resolution-dominant convs) runs on space-to-depth packed tensors: those
+    convs are lane-bound on TPU (C_out << 128) and packing measured 1.7-2.5x
+    faster on v5e (scripts/bench_conv.py). Child module names are pinned so
+    the parameter tree is identical in both modes.
+    """
+
     num_scales: int = 3
+    packed: bool = True
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, features):
         outputs = {}
         x = features[-1]
+        idx = 0
+        is_packed = False
         for scale in range(4, -1, -1):
-            x = ConvBlock(_DEC_CH[scale], dtype=self.dtype)(x)
+            x = ConvBlock(
+                _DEC_CH[scale], packed=is_packed, name=f"ConvBlock_{idx}",
+                dtype=self.dtype,
+            )(x)
+            idx += 1
+            if is_packed:
+                x = depth_to_space(x)
+                is_packed = False
             x = upsample2x_bilinear(x)
             if scale > 0:
                 x = jnp.concatenate([x, features[scale - 1]], axis=-1)
-            x = ConvBlock(_DEC_CH[scale], dtype=self.dtype)(x)
+            if self.packed and scale <= 1:
+                x = space_to_depth(x)
+                is_packed = True
+            x = ConvBlock(
+                _DEC_CH[scale], packed=is_packed, name=f"ConvBlock_{idx}",
+                dtype=self.dtype,
+            )(x)
+            idx += 1
             if scale < self.num_scales:
-                disp = nn.sigmoid(ReflectConv3x3(1, dtype=self.dtype)(x))
-                outputs[scale] = disp
+                head = ReflectConv3x3(
+                    1, packed=is_packed,
+                    name=f"ReflectConv3x3_{self.num_scales - 1 - scale}",
+                    dtype=self.dtype,
+                )
+                disp = head(x)
+                if is_packed:
+                    disp = depth_to_space(disp)
+                outputs[scale] = nn.sigmoid(disp)
         return [outputs[s] for s in range(self.num_scales)]
 
 
@@ -146,6 +183,7 @@ class DepthNet(nn.Module):
     """Encoder + decoder; returns disp pyramid [full, 1/2, 1/4, ...]."""
 
     num_scales: int = 3
+    packed: bool = True
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -155,4 +193,6 @@ class DepthNet(nn.Module):
             f"features must be >= 2px for reflection padding); got {img.shape}"
         )
         features = ResNet18Encoder(dtype=self.dtype)(img, train)
-        return DepthDecoder(num_scales=self.num_scales, dtype=self.dtype)(features)
+        return DepthDecoder(
+            num_scales=self.num_scales, packed=self.packed, dtype=self.dtype
+        )(features)

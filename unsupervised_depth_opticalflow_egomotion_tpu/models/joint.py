@@ -82,6 +82,7 @@ class JointModel(nn.Module):
     enable_eight_point: bool = False
     ransac_iters: int = 100
     remat: bool = True
+    packed_convs: bool = True
     dtype: Any = jnp.float32
 
     def setup(self):
@@ -92,11 +93,13 @@ class JointModel(nn.Module):
         depth_cls = nn.remat(DepthNet, static_argnums=(2,)) if self.remat else DepthNet
         fpyr_cls = nn.remat(FeaturePyramid) if self.remat else FeaturePyramid
         pwc_cls = nn.remat(PWCDecoder, static_argnums=(3,)) if self.remat else PWCDecoder
-        self.depth_net = depth_cls(num_scales=self.num_scales, dtype=self.dtype)
+        self.depth_net = depth_cls(
+            num_scales=self.num_scales, packed=self.packed_convs, dtype=self.dtype
+        )
         self.pose_net = PoseNet(
             num_input_frames=self.num_input_frames, dtype=self.dtype
         )
-        self.fpyramid = fpyr_cls(dtype=self.dtype)
+        self.fpyramid = fpyr_cls(packed=self.packed_convs, dtype=self.dtype)
         self.pwc = pwc_cls(dtype=self.dtype)
 
     # ------------------------------------------------------------------ infer
@@ -272,7 +275,11 @@ class JointModel(nn.Module):
         disp_lr = [cat2(dl, dr) for dl, dr in zip(disp_l, disp_r)]
         flows2 = [cat2(fb, ff) for fb, ff in zip(flows_bwd, flows_fwd)]
 
-        # Depth/pose reconstruction of the center frame.
+        # Depth/pose reconstruction of the center frame. (Fusing this gather
+        # with the flow warp below was tried and reverted: the paths sample
+        # different resizings -- area here, bilinear pyramid for flow -- and
+        # gather time scales with row bytes, so a shared 6-channel tap table
+        # doubled both gathers' cost: 28.9 -> 16.4 fps.)
         rec2, valid_to2, pdepth2, cdepth2 = multiscale_reconstruction(
             cat2(img_l, img_r), K2, disp2, disp_lr, pose2,
             sample_ref_depth=self.enable_depth_consis,

@@ -17,23 +17,70 @@ from typing import Any
 import flax.linen as nn
 import jax.numpy as jnp
 
+from ..ops.packed_conv import packed_conv, packed_conv_reflect
+
 # torch Conv2d default: uniform with bound 1/sqrt(fan_in) == variance_scaling(1/3).
 torch_conv_init = nn.initializers.variance_scaling(1.0 / 3.0, "fan_in", "uniform")
 kaiming_normal_out = nn.initializers.variance_scaling(2.0, "fan_out", "normal")
 
 
+class _ConvParams(nn.Module):
+    """Holds a conv's (kernel, bias) with nn.Conv's exact param tree.
+
+    When a layer runs in space-to-depth packed mode the conv math goes through
+    ops.packed_conv, but the LOGICAL [kh,kw,Cin,Co] kernel stays the
+    parameter: checkpoints, torch ports (utils/torch_port.py) and the parity
+    tests address the same {.../Conv_0/kernel} leaves regardless of packing.
+    Instantiate with name="Conv_0" to mirror the nn.Conv child naming.
+    """
+
+    features: int
+    in_features: int
+    kernel: int = 3
+    use_bias: bool = True
+    kernel_init: Any = torch_conv_init
+
+    @nn.compact
+    def __call__(self):
+        k = self.param(
+            "kernel",
+            self.kernel_init,
+            (self.kernel, self.kernel, self.in_features, self.features),
+            jnp.float32,
+        )
+        b = (
+            self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+            if self.use_bias
+            else None
+        )
+        return k, b
+
+
 class ConvLReLU(nn.Module):
-    """Conv2d + LeakyReLU(0.1) (net_utils.py:7-11)."""
+    """Conv2d + LeakyReLU(0.1) (net_utils.py:7-11).
+
+    With ``packed=True`` input AND output are space-to-depth packed tensors
+    ([B,H/2,W/2,4C]); only kernel=3, padding=1, dilation=1, stride in {1,2}
+    are supported in that mode.
+    """
 
     features: int
     kernel: int = 3
     stride: int = 1
     padding: int = 1
     dilation: int = 1
+    packed: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):
+        if self.packed:
+            assert (self.kernel, self.padding, self.dilation) == (3, 1, 1)
+            k, b = _ConvParams(
+                self.features, x.shape[-1] // 4, name="Conv_0"
+            )()
+            x = packed_conv(x, k.astype(self.dtype), b, self.stride)
+            return nn.leaky_relu(x, 0.1)
         p = self.padding
         x = nn.Conv(
             self.features,
@@ -72,13 +119,21 @@ class Conv(nn.Module):
 
 
 class ReflectConv3x3(nn.Module):
-    """Reflection-padded 3x3 conv (depth_model.py:111-126)."""
+    """Reflection-padded 3x3 conv (depth_model.py:111-126).
+
+    With ``packed=True`` input and output are space-to-depth packed; the
+    reflection halo is built in packed space (ops.packed_conv).
+    """
 
     features: int
+    packed: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):
+        if self.packed:
+            k, b = _ConvParams(self.features, x.shape[-1] // 4, name="Conv_0")()
+            return packed_conv_reflect(x, k.astype(self.dtype), b)
         # width-1 reflection built from plain slices (jnp.pad mode='reflect'
         # lowers through a generic reverse that is slower on TPU)
         x = jnp.concatenate([x[:, 1:2], x, x[:, -2:-1]], axis=1)

@@ -131,6 +131,27 @@ def cam2pixel_px(cam_coords: jax.Array, proj: jax.Array) -> jax.Array:
     return jnp.stack([Xp, Yp], axis=-1)
 
 
+def rigid_sample_coords(
+    depth: jax.Array,
+    pose: jax.Array,
+    intrinsics: jax.Array,
+    padding_mode: str = "zeros",
+):
+    """Normalized sampling coords of the depth+pose inverse warp.
+
+    Returns (coords [B,H,W,2], valid [B,H,W,1] f32, computed_depth [B,H,W,1]):
+    the projection half of inverse_warp2, exposed so callers can batch the
+    actual image gather with other sampling work (ops/warp.py
+    grid_sample_with_weight_multi).
+    """
+    K_inv = jnp.linalg.inv(intrinsics)
+    cam_coords = pixel2cam(depth[..., 0], K_inv)
+    proj = _mm(intrinsics, pose_vec2mat(pose.astype(jnp.float32)))
+    coords, computed_depth = cam2pixel_norm(cam_coords, proj, padding_mode)
+    valid = (jnp.max(jnp.abs(coords), axis=-1) <= 1.0).astype(jnp.float32)[..., None]
+    return coords, valid, computed_depth
+
+
 def inverse_warp2(
     img: jax.Array,
     depth: jax.Array,
@@ -152,12 +173,10 @@ def inverse_warp2(
     Returns (projected_img, valid_mask [B,H,W,1], projected_depth (>=1e-3),
     computed_depth), mirroring inverse_warp.py:263-303.
     """
-    K_inv = jnp.linalg.inv(intrinsics)
-    cam_coords = pixel2cam(depth[..., 0], K_inv)
-    proj = _mm(intrinsics, pose_vec2mat(pose.astype(jnp.float32)))
-    coords, computed_depth = cam2pixel_norm(cam_coords, proj, padding_mode)
-
-    valid = (jnp.max(jnp.abs(coords), axis=-1) <= 1.0).astype(img.dtype)[..., None]
+    coords, valid, computed_depth = rigid_sample_coords(
+        depth, pose, intrinsics, padding_mode
+    )
+    valid = valid.astype(img.dtype)
     if not sample_ref_depth:
         # projected_depth feeds only the depth-consis loss (disabled in the
         # reference's live config, model_geometry.py:897-899); skipping the

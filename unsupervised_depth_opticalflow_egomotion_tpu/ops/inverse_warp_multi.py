@@ -14,6 +14,12 @@ from .geometry import inverse_warp2
 from .interp import resize_area
 
 
+def _scale_K(intrinsics, downscale):
+    return jnp.concatenate(
+        [intrinsics[:, 0:2] / downscale, intrinsics[:, 2:]], axis=1
+    )
+
+
 def multiscale_reconstruction(ref_img, intrinsics, depths, depths_ref, pose, sample_ref_depth=True):
     """Reconstruct the target at every scale of the depth pyramid.
 
@@ -31,10 +37,7 @@ def multiscale_reconstruction(ref_img, intrinsics, depths, depths_ref, pose, sam
     for depth, depth_ref in zip(depths, depths_ref):
         h, w = depth.shape[1], depth.shape[2]
         ref_scaled = resize_area(ref_img, (h, w))
-        downscale = h0 / h
-        K_scaled = jnp.concatenate(
-            [intrinsics[:, 0:2] / downscale, intrinsics[:, 2:]], axis=1
-        )
+        K_scaled = _scale_K(intrinsics, h0 / h)
         rec, valid, pdepth, cdepth = inverse_warp2(
             ref_scaled, depth, depth_ref, pose, K_scaled,
             sample_ref_depth=sample_ref_depth,

@@ -1,0 +1,150 @@
+"""Space-to-depth packed 3x3 convolutions for small-channel layers.
+
+TPU lane economics: NHWC convs put the output-channel dim on the 128-lane
+axis, so the depth decoder / feature pyramid convs (C_out = 1/16/32 at high
+resolution) run at <=25% (often <=12.5%) MXU lane utilization, and their
+activations waste the same fraction of HBM bandwidth via lane padding.
+Packing 2x2 spatial blocks into channels ([B,H,W,C] -> [B,H/2,W/2,4C]) and
+remapping the 3x3 kernel onto a 3x3 conv over packed blocks (with structural
+zeros) trades 4x redundant MACs for 8x better lane occupancy -- measured
+1.7-2.5x faster on v5e for the shapes this package uses
+(scripts/bench_conv.py; PERF.md).
+
+Exactness: position t = oy + ky - 1 of a logical tap lands in packed block
+KY = t//2 + 1 at sub-row dy = t % 2. Rows t = -2 / t = H+1 are never
+referenced, so zero-padding the packed tensor reproduces zero padding of the
+logical tensor exactly; stride-2 convs map to stride-2 packed convs with
+asymmetric (1,0) padding. The reference's reflection padding
+(/root/reference/core/networks/structures/depth_model.py:111-126) is
+reproduced in packed space by constructing halo blocks from slices (the
+reflected row x[1] lives in packed block 0 at dy=1, etc.).
+
+Channel layout convention: packed channel index = ((dy*2 + dx) * C + c).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def space_to_depth(x: jax.Array) -> jax.Array:
+    """[B,H,W,C] -> [B,H/2,W/2,4C] with (dy,dx,c) channel layout."""
+    b, h, w, c = x.shape
+    assert h % 2 == 0 and w % 2 == 0, f"pack needs even H,W; got {x.shape}"
+    x = x.reshape(b, h // 2, 2, w // 2, 2, c)
+    return x.transpose(0, 1, 3, 2, 4, 5).reshape(b, h // 2, w // 2, 4 * c)
+
+
+def depth_to_space(x: jax.Array) -> jax.Array:
+    """[B,H,W,4C] -> [B,2H,2W,C], inverse of :func:`space_to_depth`."""
+    b, h, w, c4 = x.shape
+    c = c4 // 4
+    x = x.reshape(b, h, w, 2, 2, c).transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(b, 2 * h, 2 * w, c)
+
+
+def _pack_positions(stride: int):
+    """(oy, ky) -> (KY, dy) tap map for one axis; None = structurally zero."""
+    # logical row offset of tap ky for packed output sub-row oy:
+    #   stride 1: t = oy + ky - 1   (3x3, pad 1)
+    #   stride 2: t = 2*oy + ky - 1 (3x3, pad 1, output packed again)
+    out = {}
+    for oy in range(2):
+        for ky in range(3):
+            t = stride * oy + ky - 1
+            out[(oy, ky)] = (t // 2 + 1, t % 2)
+    return out
+
+
+def pack_kernel(w: jax.Array, stride: int = 1) -> jax.Array:
+    """Remap a logical [3,3,Cin,Co] kernel to packed [3,3,4Cin,4Co].
+
+    The packed conv (stride 1: SAME padding; stride 2: padding (1,0)) over the
+    space-to-depth input reproduces the logical conv's space-to-depth output.
+    """
+    assert w.shape[:2] == (3, 3), f"only 3x3 kernels; got {w.shape}"
+    assert stride in (1, 2)
+    cin, co = w.shape[2], w.shape[3]
+    pos = _pack_positions(stride)
+    wp = jnp.zeros((3, 3, 4 * cin, 4 * co), w.dtype)
+    for oy in range(2):
+        for ox in range(2):
+            for ky in range(3):
+                for kx in range(3):
+                    KY, dy = pos[(oy, ky)]
+                    KX, dx = pos[(ox, kx)]
+                    ci = (dy * 2 + dx) * cin
+                    coo = (oy * 2 + ox) * co
+                    wp = wp.at[KY, KX, ci : ci + cin, coo : coo + co].add(
+                        w[ky, kx]
+                    )
+    return wp
+
+
+def packed_conv(
+    xp: jax.Array, w: jax.Array, bias: jax.Array | None = None, stride: int = 1
+) -> jax.Array:
+    """3x3 conv on a packed tensor from the LOGICAL kernel/bias.
+
+    xp: packed input [B,H/2,W/2,4Cin]; w: logical [3,3,Cin,Co]. Returns the
+    packed output ([B,H/2,W/2,4Co] for stride 1, [B,H/4,W/4,4Co] for
+    stride 2), equal to space_to_depth(conv3x3(x, w, zero-pad)).
+    """
+    wp = pack_kernel(w, stride)
+    if stride == 2:
+        # the stride-2 output is packed again, so it must itself be even
+        assert xp.shape[1] % 2 == 0 and xp.shape[2] % 2 == 0, (
+            f"packed stride-2 conv needs logical H,W % 4 == 0; got packed {xp.shape}"
+        )
+    pad = ((1, 1), (1, 1)) if stride == 1 else ((1, 0), (1, 0))
+    out = jax.lax.conv_general_dilated(
+        xp,
+        wp.astype(xp.dtype),
+        (stride, stride),
+        pad,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    if bias is not None:
+        out = out + jnp.tile(bias, 4).astype(out.dtype)
+    return out
+
+
+def packed_reflect_pad1(xp: jax.Array) -> jax.Array:
+    """Width-1 logical reflection pad in packed space: adds one halo block per
+    side whose referenced sub-rows/cols hold the reflected rows (row -1 =
+    x[1] = block 0 dy=1; row H = x[H-2] = last block dy=0); the structurally
+    unreferenced sub-positions (rows -2, H+1) are zero. Composes with a
+    VALID packed conv (pack_kernel stride 1) to reproduce ReflectConv3x3."""
+    b, hp, wp_, c4 = xp.shape
+    c = c4 // 4
+    v = xp.reshape(b, hp, wp_, 2, 2, c)
+    zero_row = jnp.zeros_like(v[:, :1])
+    # top halo: dy=1 slot <- block 0's dy=1; dy=0 slot zero
+    top = zero_row.at[:, :, :, 1].set(v[:, :1, :, 1])
+    # bottom halo: dy=0 slot <- last block's dy=0
+    bot = zero_row.at[:, :, :, 0].set(v[:, -1:, :, 0])
+    v = jnp.concatenate([top, v, bot], axis=1)
+    zero_col = jnp.zeros_like(v[:, :, :1])
+    left = zero_col.at[:, :, :, :, 1].set(v[:, :, :1, :, 1])
+    right = zero_col.at[:, :, :, :, 0].set(v[:, :, -1:, :, 0])
+    v = jnp.concatenate([left, v, right], axis=2)
+    return v.reshape(b, hp + 2, wp_ + 2, c4)
+
+
+def packed_conv_reflect(
+    xp: jax.Array, w: jax.Array, bias: jax.Array | None = None
+) -> jax.Array:
+    """Reflection-padded 3x3 stride-1 conv in packed space (disp decoder)."""
+    wp = pack_kernel(w, 1)
+    out = jax.lax.conv_general_dilated(
+        packed_reflect_pad1(xp),
+        wp.astype(xp.dtype),
+        (1, 1),
+        "VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    if bias is not None:
+        out = out + jnp.tile(bias, 4).astype(out.dtype)
+    return out

@@ -54,6 +54,7 @@ def build_model(cfg: Config) -> JointModel:
         enable_eight_point=cfg.enable_eight_point,
         ransac_iters=cfg.ransac_iters,
         remat=cfg.remat,
+        packed_convs=cfg.packed_convs,
         dtype=dtype,
     )
 
@@ -77,7 +78,12 @@ def _freeze_label_fn(cfg: Config) -> Callable[[tuple], str]:
 def make_optimizer(cfg: Config, params) -> optax.GradientTransformation:
     adam = optax.adam(cfg.lr)
     if not (cfg.fix_flow or cfg.fix_depth or cfg.fix_pose):
-        return adam
+        # optax.flatten: run Adam over ONE raveled vector instead of ~300
+        # small leaves -- the per-leaf form costs ~14 ms/step on TPU (tile
+        # padding + per-tensor loop overhead for 3x3x16-sized kernels).
+        # Incompatible with multi_transform's masked nodes, so the staged
+        # (frozen-subtree) configurations keep the per-leaf form.
+        return optax.flatten(adam)
     label = _freeze_label_fn(cfg)
     labels = jax.tree_util.tree_map_with_path(lambda p, _: label(p), params)
     return optax.multi_transform(
