@@ -67,6 +67,8 @@ class Config:
     # larger batch/resolution than the default b8 256x832, which fits without)
     packed_convs: bool = True  # space-to-depth packed small-channel convs
     # (numerically equivalent; 1.7-2.5x faster on TPU -- ops/packed_conv.py)
+    pwc_corr: str = "xla"  # "xla" | "pallas": PWC correlation implementation
+    # (hardware measurements in PERF.md; xla wins on 4/5 level shapes)
     data_axis: str = "data"
     num_devices: int = 0  # 0 = all visible
 

@@ -83,6 +83,7 @@ class JointModel(nn.Module):
     ransac_iters: int = 100
     remat: bool = True
     packed_convs: bool = True
+    corr_impl: str = "xla"
     dtype: Any = jnp.float32
 
     def setup(self):
@@ -100,7 +101,7 @@ class JointModel(nn.Module):
             num_input_frames=self.num_input_frames, dtype=self.dtype
         )
         self.fpyramid = fpyr_cls(packed=self.packed_convs, dtype=self.dtype)
-        self.pwc = pwc_cls(dtype=self.dtype)
+        self.pwc = pwc_cls(corr_impl=self.corr_impl, dtype=self.dtype)
 
     # ------------------------------------------------------------------ infer
     def infer_depth(self, img):

@@ -61,6 +61,10 @@ class ContextNet(nn.Module):
 
 class PWCDecoder(nn.Module):
     md: int = 4
+    # "xla": fused 81-shift formulation (default -- wins on 4/5 level shapes,
+    # scripts/bench_corr.py); "pallas": VMEM-resident kernel where it fits
+    # (ops/pallas/correlation.py), with the XLA-formulation backward.
+    corr_impl: str = "xla"
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -69,16 +73,22 @@ class PWCDecoder(nn.Module):
         assert h % 64 == 0 and w % 64 == 0, (
             f"PWC coarse-to-fine levels need H,W divisible by 64; got {img_hw}"
         )
+        if self.corr_impl == "pallas":
+            from ..ops.pallas.correlation import correlation_vjp
+
+            corr_fn = lambda a, b: correlation_vjp(a, b, self.md)  # noqa: E731
+        else:
+            corr_fn = lambda a, b: correlation(a, b, self.md)  # noqa: E731
         c11, c12, c13, c14, c15, c16 = feats1
         c21, c22, c23, c24, c25, c26 = feats2
 
-        corr6 = correlation(c16, c26, self.md)
+        corr6 = corr_fn(c16, c26)
         flow6, _ = DenseFlowBlock(dtype=self.dtype)(corr6)
         up_flow6 = upsample2x_bilinear(flow6) * 2.0
 
         def level(feat1, feat2, up_flow):
             warped = warp_flow(feat2, up_flow, use_mask=False)
-            corr = correlation(feat1, warped, self.md)
+            corr = corr_fn(feat1, warped)
             x = jnp.concatenate([corr, feat1, up_flow], -1)
             flow, x4 = DenseFlowBlock(dtype=self.dtype)(x)
             return flow + up_flow, x4

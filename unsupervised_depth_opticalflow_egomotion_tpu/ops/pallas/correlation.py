@@ -76,3 +76,68 @@ def correlation_pallas(
         interpret=interpret,
     )(f1, f2p)
     return jnp.transpose(out, (0, 2, 3, 1))
+
+
+# Largest per-batch-item working set (elements) the kernel is allowed; above
+# this the v5e Mosaic compile fails (observed at the 64x208x32 level), so
+# correlation_vjp falls back to the fused-XLA formulation there.
+_VMEM_ELEM_BOUND = 1_500_000
+
+
+def pallas_fits(shape, md: int = 4) -> bool:
+    """Whether the kernel's VMEM working set fits for a [B,H,W,C] level."""
+    _, h, w, c = shape
+    n = 2 * md + 1
+    return (h + 2 * md) * (w + 2 * md) * c + n * n * h * w + h * w * c <= _VMEM_ELEM_BOUND
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def correlation_vjp(f1: jax.Array, f2: jax.Array, md: int = 4) -> jax.Array:
+    """Trainable wrapper: Pallas forward (XLA fallback where the kernel does
+    not fit VMEM), XLA-formulation backward.
+
+    Hardware measurements (scripts/bench_corr.py, v5e, b16 levels of the geom
+    step): the kernel matches the XLA form numerically on every level it
+    compiles for, and wins only at 16x52x96 (2.77 -> 1.54 ms fwd); the XLA
+    form stays the default (Config.pwc_corr = "xla").
+    """
+    if pallas_fits(f1.shape, md):
+        # interpret off-TPU so the CPU test mesh / CI can trace this path
+        on_tpu = jax.default_backend() not in ("cpu", "gpu")
+        return correlation_pallas(f1, f2, md, interpret=not on_tpu)
+    from ..cost_volume import correlation
+
+    return correlation(f1, f2, md)
+
+
+def _corr_fwd(f1, f2, md):
+    return correlation_vjp(f1, f2, md), (f1, f2)
+
+
+def _corr_bwd(md, res, g):
+    # d corr / d f1 and d f2 via the same 81-shift structure as the forward
+    # (ops/cost_volume.py): df1 = sum_ij g_ij * shift_ij(f2) / C,
+    # df2 = sum_ij unshift_ij(g_ij * f1) / C.
+    f1, f2 = res
+    b, h, w, c = f1.shape
+    d = md
+    n = 2 * d + 1
+    inv_c = jnp.asarray(1.0 / c, f1.dtype)
+    f2p = jnp.pad(f2, ((0, 0), (d, d), (d, d), (0, 0)))
+    df1 = jnp.zeros_like(f1)
+    df2p = jnp.zeros_like(f2p)
+    for i in range(n):
+        for j in range(n):
+            gij = g[..., i * n + j : i * n + j + 1] * inv_c
+            shifted = jax.lax.dynamic_slice(f2p, (0, i, j, 0), (b, h, w, c))
+            df1 = df1 + gij * shifted
+            df2p = jax.lax.dynamic_update_slice(
+                df2p,
+                jax.lax.dynamic_slice(df2p, (0, i, j, 0), (b, h, w, c)) + gij * f1,
+                (0, i, j, 0),
+            )
+    df2 = df2p[:, d : d + h, d : d + w]
+    return df1, df2
+
+
+correlation_vjp.defvjp(_corr_fwd, _corr_bwd)

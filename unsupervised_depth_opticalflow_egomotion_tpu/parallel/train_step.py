@@ -55,6 +55,7 @@ def build_model(cfg: Config) -> JointModel:
         ransac_iters=cfg.ransac_iters,
         remat=cfg.remat,
         packed_convs=cfg.packed_convs,
+        corr_impl=cfg.pwc_corr,
         dtype=dtype,
     )
 
