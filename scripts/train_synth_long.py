@@ -136,6 +136,7 @@ def main():
     dataset = KittiPreparedDataset(
         args.data, num_scales=cfg.num_scales, img_hw=cfg.img_hw,
         num_iterations=args.steps * args.batch, seed=0,
+        cache_decoded_bytes=1 << 30,  # 1-core host: decode dominates otherwise
     )
     loader = BatchLoader(dataset, args.batch, shuffle=True, num_workers=2, seed=0)
 

@@ -67,6 +67,7 @@ class KittiPreparedDataset:
         img_hw=(256, 832),
         num_iterations: int | None = None,
         seed: int = 0,
+        cache_decoded_bytes: int = 0,
     ):
         self.data_dir = data_dir
         self.num_scales = num_scales
@@ -74,6 +75,14 @@ class KittiPreparedDataset:
         self.num_iterations = num_iterations
         self.seed = seed
         self.data_list = self._read_index(os.path.join(data_dir, "train.txt"))
+        # optional decoded-PNG cache: on a weak host the cv2.imread of the
+        # stacked PNG dominates step time (measured 4.4 fps vs 29 fps device
+        # rate on a 1-core host); caching the decode (NOT the augmentation --
+        # per-index resampling/flip stays downstream) removes it for datasets
+        # that fit the byte budget. 0 disables.
+        self._cache_budget = cache_decoded_bytes
+        self._cache_used = 0
+        self._decode_cache: dict = {}
 
     def _read_index(self, info_file):
         with open(info_file) as f:
@@ -102,7 +111,12 @@ class KittiPreparedDataset:
         if self.num_iterations is not None:
             idx = rng.randint(self.count())
         data = self.data_list[idx]
-        img = cv2.imread(data["image_file"])
+        img = self._decode_cache.get(data["image_file"])
+        if img is None:
+            img = cv2.imread(data["image_file"])
+            if self._cache_budget and self._cache_used + img.nbytes <= self._cache_budget:
+                self._decode_cache[data["image_file"]] = img
+                self._cache_used += img.nbytes
         h_orig = img.shape[0] // 3
         hw_orig = (h_orig, img.shape[1])
         h, w = self.img_hw

@@ -35,7 +35,7 @@ from ..ops import losses as L
 from ..ops import masks as M
 from ..ops.geometry import disp2depth, fundamental_from_pose, projection_matrices
 from ..ops.interp import image_pyramid
-from ..ops.inverse_warp_multi import multiscale_reconstruction
+from ..ops.inverse_warp_multi import multiscale_recon_dynamic, multiscale_reconstruction
 from ..ops.pnp import batched_pnp
 from ..ops.ransac import batched_ransac_fundamental
 from ..ops.sampling import sample_matches
@@ -276,13 +276,15 @@ class JointModel(nn.Module):
         disp_lr = [cat2(dl, dr) for dl, dr in zip(disp_l, disp_r)]
         flows2 = [cat2(fb, ff) for fb, ff in zip(flows_bwd, flows_fwd)]
 
-        # Depth/pose reconstruction of the center frame. (Fusing this gather
+        # Depth/pose reconstruction of the center frame + dynamic-region
+        # masks from one shared projection per scale. (Fusing this gather
         # with the flow warp below was tried and reverted: the paths sample
         # different resizings -- area here, bilinear pyramid for flow -- and
         # gather time scales with row bytes, so a shared 6-channel tap table
         # doubled both gathers' cost: 28.9 -> 16.4 fps.)
-        rec2, valid_to2, pdepth2, cdepth2 = multiscale_reconstruction(
-            cat2(img_l, img_r), K2, disp2, disp_lr, pose2,
+        rec2, valid_to2, pdepth2, cdepth2, fd2, dyn2, fds2 = multiscale_recon_dynamic(
+            cat2(img_l, img_r), K2, disp2, disp_lr, pose2, flows2,
+            self.flow_consist_alpha, self.flow_consist_beta,
             sample_ref_depth=self.enable_depth_consis,
         )
         rec_l, rec_r = zip(*(split2(x) for x in rec2))
@@ -306,10 +308,7 @@ class JointModel(nn.Module):
             warped_from_l, img_pyr, warped_from_r
         )
 
-        # Dynamic-region masks from rigid-vs-predicted flow.
-        fd2, dyn2, fds2 = M.dynamic_masks(
-            K2, disp2, pose2, flows2, self.flow_consist_alpha, self.flow_consist_beta
-        )
+        # Dynamic-region masks (computed above with the reconstruction).
         fd_bwd, fd_fwd = zip(*(split2(x) for x in fd2))
         dyn_bwd, dyn_fwd = zip(*(split2(x) for x in dyn2))
         fds_bwd, fds_fwd = zip(*(split2(x) for x in fds2))

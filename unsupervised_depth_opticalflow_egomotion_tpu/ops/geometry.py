@@ -131,6 +131,37 @@ def cam2pixel_px(cam_coords: jax.Array, proj: jax.Array) -> jax.Array:
     return jnp.stack([Xp, Yp], axis=-1)
 
 
+def rigid_projection(
+    depth: jax.Array,
+    pose: jax.Array,
+    intrinsics: jax.Array,
+    padding_mode: str = "zeros",
+):
+    """One depth+pose projection pass, all consumers served.
+
+    Returns (coords [B,H,W,2] normalized with the oob->2 trick, valid
+    [B,H,W,1] f32, computed_depth [B,H,W,1], rigid_flow [B,H,W,2] f32).
+    The geom objective needs both the warp coords (inverse_warp2,
+    inverse_warp.py:263-303) and the rigid flow (dynamic-region masks,
+    model_geometry.py:685-713) of the SAME (depth, pose, K) every scale;
+    computing them from one pixel2cam+project pipeline halves that work.
+    """
+    b, h, w, _ = depth.shape
+    K_inv = jnp.linalg.inv(intrinsics)
+    cam_coords = pixel2cam(depth[..., 0], K_inv)
+    proj = _mm(intrinsics, pose_vec2mat(pose.astype(jnp.float32)))
+    Xp, Yp, Z = _project(cam_coords, proj)
+    x_norm = 2.0 * Xp / (w - 1) - 1.0
+    y_norm = 2.0 * Yp / (h - 1) - 1.0
+    if padding_mode == "zeros":
+        x_norm = jnp.where(jnp.abs(x_norm) > 1.0, 2.0, x_norm)
+        y_norm = jnp.where(jnp.abs(y_norm) > 1.0, 2.0, y_norm)
+    coords = jnp.stack([x_norm, y_norm], axis=-1)
+    valid = (jnp.max(jnp.abs(coords), axis=-1) <= 1.0).astype(jnp.float32)[..., None]
+    rigid = jnp.stack([Xp, Yp], axis=-1) - pixel_grid(h, w, jnp.float32)[None]
+    return coords, valid, Z[..., None], rigid
+
+
 def rigid_sample_coords(
     depth: jax.Array,
     pose: jax.Array,
@@ -144,11 +175,9 @@ def rigid_sample_coords(
     actual image gather with other sampling work (ops/warp.py
     grid_sample_with_weight_multi).
     """
-    K_inv = jnp.linalg.inv(intrinsics)
-    cam_coords = pixel2cam(depth[..., 0], K_inv)
-    proj = _mm(intrinsics, pose_vec2mat(pose.astype(jnp.float32)))
-    coords, computed_depth = cam2pixel_norm(cam_coords, proj, padding_mode)
-    valid = (jnp.max(jnp.abs(coords), axis=-1) <= 1.0).astype(jnp.float32)[..., None]
+    coords, valid, computed_depth, _ = rigid_projection(
+        depth, pose, intrinsics, padding_mode
+    )
     return coords, valid, computed_depth
 
 

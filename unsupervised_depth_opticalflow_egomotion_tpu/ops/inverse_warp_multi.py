@@ -8,16 +8,73 @@ projected source depth, computed depth).
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
-from .geometry import inverse_warp2
+from .geometry import inverse_warp2, rigid_projection
 from .interp import resize_area
+from .masks import flow_norm
+from .warp import grid_sample
 
 
 def _scale_K(intrinsics, downscale):
     return jnp.concatenate(
         [intrinsics[:, 0:2] / downscale, intrinsics[:, 2:]], axis=1
     )
+
+
+def multiscale_recon_dynamic(
+    ref_img,
+    intrinsics,
+    depths,
+    depths_ref,
+    pose,
+    flows,
+    alpha: float,
+    beta: float,
+    sample_ref_depth: bool = False,
+):
+    """Reconstruction + dynamic-region masks from ONE projection per scale.
+
+    The geom objective runs both inverse_warp2 (model_geometry.py:80-103) and
+    the rigid-flow dynamic masks (model_geometry.py:685-713) on the same
+    (depth, pose, K/2^s) every scale; this computes the shared
+    pixel2cam+projection once (geometry.rigid_projection) and derives both.
+
+    Returns (recs, valids, pdepths, cdepths, flow_diffs, dyn_masks, scores):
+    the first four as multiscale_reconstruction, the last three as
+    masks.dynamic_masks -- bound = alpha*(|f|^2+|r|^2)+beta, mask =
+    |f-r|^2 < bound under stop_gradient, score = 1/(1e-4+|f-r|).
+    """
+    h0 = ref_img.shape[1]
+    recs, valids, pdepths, cdepths = [], [], [], []
+    flow_diffs, dyn_masks, scores = [], [], []
+    for depth, depth_ref, flow in zip(depths, depths_ref, flows):
+        h, w = depth.shape[1], depth.shape[2]
+        ref_scaled = resize_area(ref_img, (h, w))
+        K_scaled = _scale_K(intrinsics, h0 / h)
+        coords, valid, cdepth, rigid = rigid_projection(depth, pose, K_scaled)
+
+        if sample_ref_depth:
+            sampled = grid_sample(
+                jnp.concatenate([ref_scaled, depth_ref.astype(ref_scaled.dtype)], -1),
+                coords,
+            )
+            recs.append(sampled[..., :3])
+            pdepths.append(jnp.maximum(sampled[..., 3:], 1e-3))
+        else:
+            recs.append(grid_sample(ref_scaled, coords))
+            pdepths.append(None)
+        valids.append(valid.astype(ref_scaled.dtype))
+        cdepths.append(cdepth)
+
+        bound = alpha * (flow_norm(flow) ** 2 + flow_norm(rigid) ** 2) + beta
+        diff = jnp.abs(rigid - flow)
+        dn = flow_norm(diff)
+        flow_diffs.append(diff)
+        dyn_masks.append(jax.lax.stop_gradient((dn**2 < bound).astype(flow.dtype)))
+        scores.append(jax.lax.stop_gradient(1.0 / (1e-4 + dn)))
+    return recs, valids, pdepths, cdepths, flow_diffs, dyn_masks, scores
 
 
 def multiscale_reconstruction(ref_img, intrinsics, depths, depths_ref, pose, sample_ref_depth=True):
