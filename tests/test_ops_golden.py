@@ -197,3 +197,54 @@ class TestGeometry:
         depth = np.asarray(ops.disp2depth(disp))
         np.testing.assert_allclose(depth.max(), 100.0, atol=1e-4)
         np.testing.assert_allclose(depth.min(), 0.1, atol=1e-4)
+
+
+class TestReconDynamicFusion:
+    """multiscale_recon_dynamic == multiscale_reconstruction + dynamic_masks.
+
+    The fused form computes ONE pixel2cam+projection per scale and derives
+    both the warp products and the rigid-flow dynamic masks; this pins that
+    it is a pure refactor of the two separate calls (which the parity test
+    ties to the reference)."""
+
+    def test_matches_separate_calls(self):
+        import numpy as np
+        import jax.numpy as jnp
+
+        from unsupervised_depth_opticalflow_egomotion_tpu.ops import masks as M
+        from unsupervised_depth_opticalflow_egomotion_tpu.ops.inverse_warp_multi import (
+            multiscale_recon_dynamic,
+            multiscale_reconstruction,
+        )
+
+        rng = np.random.RandomState(0)
+        b, h, w = 2, 32, 64
+        ref_img = jnp.asarray(rng.rand(b, h, w, 3).astype(np.float32))
+        K = np.array([[50.0, 0, w / 2], [0, 52.0, h / 2], [0, 0, 1]], np.float32)
+        K = jnp.asarray(np.tile(K[None], (b, 1, 1)))
+        pose = jnp.asarray(rng.randn(b, 6).astype(np.float32) * 0.05)
+        depths, depths_ref, flows = [], [], []
+        for s in range(3):
+            hs, ws = h // 2**s, w // 2**s
+            depths.append(jnp.asarray(rng.rand(b, hs, ws, 1).astype(np.float32) * 0.3 + 0.05))
+            depths_ref.append(jnp.asarray(rng.rand(b, hs, ws, 1).astype(np.float32) * 0.3 + 0.05))
+            flows.append(jnp.asarray(rng.randn(b, hs, ws, 2).astype(np.float32) * 2))
+
+        for sample_ref in (False, True):
+            recs, valids, pdep, cdep = multiscale_reconstruction(
+                ref_img, K, depths, depths_ref, pose, sample_ref_depth=sample_ref
+            )
+            fd, dyn, fds = M.dynamic_masks(K, depths, pose, flows, 0.01, 0.5)
+            out = multiscale_recon_dynamic(
+                ref_img, K, depths, depths_ref, pose, flows, 0.01, 0.5,
+                sample_ref_depth=sample_ref,
+            )
+            for s in range(3):
+                np.testing.assert_allclose(np.asarray(out[0][s]), np.asarray(recs[s]), atol=1e-6)
+                np.testing.assert_allclose(np.asarray(out[1][s]), np.asarray(valids[s]), atol=1e-6)
+                if sample_ref:
+                    np.testing.assert_allclose(np.asarray(out[2][s]), np.asarray(pdep[s]), atol=1e-6)
+                np.testing.assert_allclose(np.asarray(out[3][s]), np.asarray(cdep[s]), atol=1e-6)
+                np.testing.assert_allclose(np.asarray(out[4][s]), np.asarray(fd[s]), atol=1e-5)
+                np.testing.assert_allclose(np.asarray(out[5][s]), np.asarray(dyn[s]), atol=0)
+                np.testing.assert_allclose(np.asarray(out[6][s]), np.asarray(fds[s]), rtol=1e-4)
