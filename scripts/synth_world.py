@@ -22,7 +22,12 @@ import numpy as np
 
 
 def _smooth_texture(rng, h, w, octaves=4):
-    """Multi-octave smooth random RGB texture in [0,1] (needs cv2)."""
+    """Multi-octave random RGB texture in [0,1] with fine detail (needs cv2).
+
+    The finest octaves are essential: with only smooth blobs the photometric
+    objective has weak gradients everywhere (aperture problem) and the flow
+    stage diverges -- observed as NaN flows within 50 steps at 256x832.
+    """
     import cv2
 
     img = np.zeros((h, w, 3), np.float32)
@@ -30,6 +35,13 @@ def _smooth_texture(rng, h, w, octaves=4):
         s = 2 ** (octaves - o)
         small = rng.rand(max(2, h // s), max(2, w // s), 3).astype(np.float32)
         img += cv2.resize(small, (w, h), interpolation=cv2.INTER_LINEAR) / (o + 1)
+    # surface-attached high-frequency detail (consistent across views: it
+    # lives in texture space, not pixel space)
+    img += 0.35 * rng.rand(h, w, 3).astype(np.float32)
+    img += 0.35 * cv2.resize(
+        rng.rand(h // 2, w // 2, 3).astype(np.float32), (w, h),
+        interpolation=cv2.INTER_LINEAR,
+    )
     img -= img.min()
     img /= img.max() + 1e-6
     return img

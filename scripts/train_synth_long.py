@@ -61,40 +61,44 @@ def load_eval_set(data_dir):
     return out
 
 
-def synth_eval(eval_set, flow_fn, disp_fn):
+def synth_eval(eval_set, flow_fn, disp_fn, do_flow=True, do_depth=True):
     """Flow EPE + depth metrics against the generator's exact GT."""
     epes, absrel, a1 = [], [], []
     for s in eval_set:
         img_c = s["img_c"].astype(np.float32) / 255.0
         img_r = s["img_r"].astype(np.float32) / 255.0
         h, w = img_c.shape[:2]
-        flow = np.asarray(flow_fn(img_c[None], img_r[None]))[0]
-        gt = s["flow_fwd"]
-        xs, ys = np.meshgrid(np.arange(w), np.arange(h))
-        inb = (
-            (xs + gt[..., 0] >= 0)
-            & (xs + gt[..., 0] < w - 1)
-            & (ys + gt[..., 1] >= 0)
-            & (ys + gt[..., 1] < h - 1)
-            & s["valid"]
-        )
-        epes.append(float(np.linalg.norm(flow - gt, axis=-1)[inb].mean()))
+        if do_flow:
+            flow = np.asarray(flow_fn(img_c[None], img_r[None]))[0]
+            gt = s["flow_fwd"]
+            xs, ys = np.meshgrid(np.arange(w), np.arange(h))
+            inb = (
+                (xs + gt[..., 0] >= 0)
+                & (xs + gt[..., 0] < w - 1)
+                & (ys + gt[..., 1] >= 0)
+                & (ys + gt[..., 1] < h - 1)
+                & s["valid"]
+            )
+            epes.append(float(np.linalg.norm(flow - gt, axis=-1)[inb].mean()))
 
-        disp = np.asarray(disp_fn(img_c[None]))[0, ..., 0]
-        pred_depth = 1.0 / (disp + 1e-4)
-        gt_depth = s["depth"]
-        m = s["valid"] & (gt_depth > 1e-3) & (gt_depth < 80.0)
-        pd, gd = pred_depth[m], gt_depth[m]
-        pd = pd * np.median(gd) / np.median(pd)  # median scaling (test protocol)
-        pd = np.clip(pd, 1e-3, 80.0)
-        errs = compute_errors(gd, pd)
-        absrel.append(float(errs[0]))
-        a1.append(float(errs[4]))
-    return {
-        "flow_epe": float(np.mean(epes)),
-        "depth_absrel": float(np.mean(absrel)),
-        "depth_a1": float(np.mean(a1)),
-    }
+        if do_depth:
+            disp = np.asarray(disp_fn(img_c[None]))[0, ..., 0]
+            pred_depth = 1.0 / (disp + 1e-4)
+            gt_depth = s["depth"]
+            m = s["valid"] & (gt_depth > 1e-3) & (gt_depth < 80.0)
+            pd, gd = pred_depth[m], gt_depth[m]
+            pd = pd * np.median(gd) / np.median(pd)  # median scaling (test protocol)
+            pd = np.clip(pd, 1e-3, 80.0)
+            errs = compute_errors(gd, pd)
+            absrel.append(float(errs[0]))
+            a1.append(float(errs[4]))
+    out = {}
+    if epes:
+        out["flow_epe"] = float(np.mean(epes))
+    if absrel:
+        out["depth_absrel"] = float(np.mean(absrel))
+        out["depth_a1"] = float(np.mean(a1))
+    return out
 
 
 def main():
@@ -108,6 +112,13 @@ def main():
     ap.add_argument("--log_every", type=int, default=50)
     ap.add_argument("--image_every", type=int, default=1000)
     ap.add_argument("--lr", type=float, default=1e-4)
+    ap.add_argument("--grad_clip", type=float, default=0.0)
+    # the reference's curriculum is flow -> depth -> geom with staged init
+    # (/root/reference/train.py:36-55); geom-from-scratch was observed to
+    # learn far slower (flow EPE flat over 1k steps while SSIM creeps down)
+    ap.add_argument("--mode", default="geom", choices=["flow", "depth", "geom"])
+    ap.add_argument("--graft_flow", default="", help="flow-stage ckpt dir")
+    ap.add_argument("--graft_depth", default="", help="depth-stage ckpt dir")
     args = ap.parse_args()
 
     if not os.path.exists(os.path.join(args.data, "train.txt")):
@@ -122,14 +133,28 @@ def main():
     h, w = args.hw
     cfg = Config(
         img_hw=(h, w),
-        mode="geom",
+        mode=args.mode,
         compute_dtype="bfloat16",
         batch_size=args.batch,
         lr=args.lr,
+        grad_clip_norm=args.grad_clip,
         num_iterations=args.steps,
         model_dir=args.out,
     )
     model, state = init_state(cfg, jax.random.PRNGKey(0))
+    # staged hand-off: take the flow nets from the flow-stage checkpoint and
+    # the depth/pose nets from the depth-stage one (train.py:36-55 semantics)
+    from unsupervised_depth_opticalflow_egomotion_tpu.utils import graft_params
+
+    for stage_dir, keys in (
+        (args.graft_flow, ("fpyramid", "pwc")),
+        (args.graft_depth, ("depth_net", "pose_net")),
+    ):
+        if stage_dir:
+            donor = CheckpointManager(stage_dir).restore(state)
+            subset = {k: donor.params[k] for k in keys if k in donor.params}
+            state = state.replace(params=graft_params(state.params, subset))
+            print(f"grafted {keys} from {stage_dir}")
     tx = make_optimizer(cfg, state.params)
     step_fn = make_train_step(model, cfg, tx)
 
@@ -137,19 +162,23 @@ def main():
         args.data, num_scales=cfg.num_scales, img_hw=cfg.img_hw,
         num_iterations=args.steps * args.batch, seed=0,
         cache_decoded_bytes=1 << 30,  # 1-core host: decode dominates otherwise
+        uint8_images=True,  # 4x smaller relay transfer; normalized on device
     )
     loader = BatchLoader(dataset, args.batch, shuffle=True, num_workers=2, seed=0)
 
     eval_model = build_model(cfg.replace(compute_dtype="float32"))
     flow_fn_v, disp_fn_v, _ = eval_tasks.make_inference_fns(eval_model)
 
-    @jax.jit
-    def mask_fn(variables, images, K_ms, K_inv_ms):
-        _, aux = eval_model.apply(
-            variables, images, K_ms, K_inv_ms, train=False,
-            method=eval_model.forward_geom, with_masks=True,
-        )
-        return aux
+    mask_fn = None
+    if args.mode == "geom":
+
+        @jax.jit
+        def mask_fn(variables, images, K_ms, K_inv_ms):
+            _, aux = eval_model.apply(
+                variables, images, K_ms, K_inv_ms, train=False,
+                method=eval_model.forward_geom, with_masks=True,
+            )
+            return aux
 
     eval_set = load_eval_set(args.data)
     ckpt = CheckpointManager(os.path.join(args.out, "ckpt"))
@@ -188,20 +217,23 @@ def main():
                 eval_set,
                 lambda a, b: flow_fn_v(variables, a, b),
                 lambda a: disp_fn_v(variables, a),
+                do_flow=args.mode in ("flow", "geom"),
+                do_depth=args.mode in ("depth", "geom"),
             )
-            aux = jax.device_get(mask_fn(variables, *batch))
-            occ = {
-                "occ_mean": float(np.mean(aux["occ_fwd_mask"])),
-                "dyn_mean": float(np.mean(aux["dyna_fwd_mask"])),
-                "valid_mean": float(np.mean(aux["valid_fwd_mask"])),
-                "fused_mean": float(np.mean(aux["fwd_mask"])),
-                "tex_mean": float(np.mean(aux["texture_mask_fwd"])),
-            }
-            rec = {"step": step, "eval": m, "masks": occ}
-            print(f"[EVAL {step}] {m} masks={occ}")
+            rec = {"step": step, "eval": m}
+            if mask_fn is not None:
+                aux = jax.device_get(mask_fn(variables, *batch))
+                rec["masks"] = {
+                    "occ_mean": float(np.mean(aux["occ_fwd_mask"])),
+                    "dyn_mean": float(np.mean(aux["dyna_fwd_mask"])),
+                    "valid_mean": float(np.mean(aux["valid_fwd_mask"])),
+                    "fused_mean": float(np.mean(aux["fwd_mask"])),
+                    "tex_mean": float(np.mean(aux["texture_mask_fwd"])),
+                }
+            print(f"[EVAL {step}] {m}" + (f" masks={rec['masks']}" if "masks" in rec else ""))
             curves.write(json.dumps(rec) + "\n")
 
-        if step % args.image_every == 0:
+        if mask_fn is not None and step % args.image_every == 0:
             from unsupervised_depth_opticalflow_egomotion_tpu.visualize import (
                 dump_mask_pack,
             )
@@ -210,9 +242,11 @@ def main():
                 variables = {"params": state.params, "batch_stats": state.batch_stats}
                 aux = jax.device_get(mask_fn(variables, *batch))
             hh = batch_np[0].shape[1] // 3
+            center = batch_np[0][0, hh : 2 * hh]
+            if center.dtype == np.uint8:
+                center = center.astype(np.float32) / 255.0
             dump_mask_pack(
-                aux, batch_np[0][0, hh : 2 * hh],
-                os.path.join(args.out, "images"), step, None,
+                aux, center, os.path.join(args.out, "images"), step, None,
             )
         if step % 1000 == 0:
             ckpt.save(step, jax.device_get(state))

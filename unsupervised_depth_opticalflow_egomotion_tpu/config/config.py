@@ -69,6 +69,9 @@ class Config:
     # (numerically equivalent; 1.7-2.5x faster on TPU -- ops/packed_conv.py)
     pwc_corr: str = "xla"  # "xla" | "pallas": PWC correlation implementation
     # (hardware measurements in PERF.md; xla wins on 4/5 level shapes)
+    decode_cache_bytes: int = 2 << 30  # host decoded-PNG cache budget (0 = off)
+    grad_clip_norm: float = 0.0  # optax global-norm gradient clip (0 = off;
+    # the reference has none -- an opt-in stabilizer for from-scratch stages)
     data_axis: str = "data"
     num_devices: int = 0  # 0 = all visible
 

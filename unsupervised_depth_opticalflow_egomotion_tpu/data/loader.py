@@ -68,7 +68,9 @@ class KittiPreparedDataset:
         num_iterations: int | None = None,
         seed: int = 0,
         cache_decoded_bytes: int = 0,
+        uint8_images: bool = False,
     ):
+        self.uint8_images = uint8_images
         self.data_dir = data_dir
         self.num_scales = num_scales
         self.img_hw = tuple(img_hw)
@@ -111,22 +113,31 @@ class KittiPreparedDataset:
         if self.num_iterations is not None:
             idx = rng.randint(self.count())
         data = self.data_list[idx]
-        img = self._decode_cache.get(data["image_file"])
-        if img is None:
-            img = cv2.imread(data["image_file"])
+        cached = self._decode_cache.get(data["image_file"])
+        if cached is None:
+            raw = cv2.imread(data["image_file"])
+            h_orig = raw.shape[0] // 3
+            hw_orig = (h_orig, raw.shape[1])
+            h, w = self.img_hw
+            parts = [
+                cv2.resize(raw[i * h_orig : (i + 1) * h_orig], (w, h))
+                for i in range(3)
+            ]
+            img = np.concatenate(parts, axis=0)
+            cached = (img, hw_orig)
             if self._cache_budget and self._cache_used + img.nbytes <= self._cache_budget:
-                self._decode_cache[data["image_file"]] = img
+                self._decode_cache[data["image_file"]] = cached
                 self._cache_used += img.nbytes
-        h_orig = img.shape[0] // 3
-        hw_orig = (h_orig, img.shape[1])
-        h, w = self.img_hw
-        parts = [
-            cv2.resize(img[i * h_orig : (i + 1) * h_orig], (w, h)) for i in range(3)
-        ]
-        img = np.concatenate(parts, axis=0)
+        img, hw_orig = cached
         if rng.rand() > 0.5:
             img = img[:, ::-1]
-        img = (img / 255.0).astype(np.float32)
+        if self.uint8_images:
+            # ship uint8; the jitted step normalizes on device (split_stack).
+            # Through the device relay the f32 batch transfer alone caps
+            # training at ~7 fps; uint8 is 4x smaller.
+            img = np.ascontiguousarray(img)
+        else:
+            img = (img / 255.0).astype(np.float32)
 
         K = read_cam_intrinsic(data["cam_intrinsic_file"])
         K = rescale_intrinsics(K, hw_orig, self.img_hw)

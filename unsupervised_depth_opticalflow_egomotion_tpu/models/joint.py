@@ -52,9 +52,16 @@ def split_stack(images: jax.Array, dtype=None):
 
     With ``dtype`` the frames are cast (bf16 on the training path: image
     values tolerate it and it halves the bandwidth of every warp gather and
-    photometric pass; coordinates and loss accumulations stay f32).
+    photometric pass; coordinates and loss accumulations stay f32). uint8
+    input (the loader's uint8_images fast path -- 4x smaller host->device
+    transfer) is normalized to [0,1] here on device.
     """
-    if dtype is not None:
+    if images.dtype == jnp.uint8:
+        tgt = dtype if dtype is not None else jnp.float32
+        # normalize in f32 then cast: bit-identical to the loader's host-side
+        # (img/255).astype(f32) path under every compute dtype
+        images = (images.astype(jnp.float32) / 255.0).astype(tgt)
+    elif dtype is not None:
         images = images.astype(dtype)
     h = images.shape[1] // 3
     return images[:, :h], images[:, h : 2 * h], images[:, 2 * h :]

@@ -78,6 +78,8 @@ def _freeze_label_fn(cfg: Config) -> Callable[[tuple], str]:
 
 def make_optimizer(cfg: Config, params) -> optax.GradientTransformation:
     adam = optax.adam(cfg.lr)
+    if cfg.grad_clip_norm > 0:
+        adam = optax.chain(optax.clip_by_global_norm(cfg.grad_clip_norm), adam)
     if not (cfg.fix_flow or cfg.fix_depth or cfg.fix_pose):
         # optax.flatten: run Adam over ONE raveled vector instead of ~300
         # small leaves -- the per-leaf form costs ~14 ms/step on TPU (tile
