@@ -248,3 +248,34 @@ class TestReconDynamicFusion:
                 np.testing.assert_allclose(np.asarray(out[4][s]), np.asarray(fd[s]), atol=1e-5)
                 np.testing.assert_allclose(np.asarray(out[5][s]), np.asarray(dyn[s]), atol=0)
                 np.testing.assert_allclose(np.asarray(out[6][s]), np.asarray(fds[s]), rtol=1e-4)
+
+
+def test_ssim_bf16_smooth_region_grad_finite():
+    """bf16 SSIM on smooth regions: the f32-stats fix (ops/ssim.py).
+
+    With bf16 statistics, E[x^2]-E[x]^2 cancels catastrophically on
+    low-variance patches and (sigma_x+sigma_y+c2) crosses zero: the SSIM
+    gradient NaNs on the first real full-resolution batch and one optimizer
+    step poisons training. Regression: near-constant bf16 inputs must give
+    finite values AND gradients."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from unsupervised_depth_opticalflow_egomotion_tpu.ops.ssim import ssim
+
+    rng = np.random.RandomState(0)
+    base = 0.43 + 0.002 * rng.rand(2, 64, 96, 3).astype(np.float32)
+    x = jnp.asarray(base, jnp.bfloat16)
+    y = jnp.asarray(base + 0.001 * rng.rand(*base.shape).astype(np.float32), jnp.bfloat16)
+
+    def loss(y):
+        return jnp.mean((1.0 - ssim(x, y).astype(jnp.float32)) / 2.0)
+
+    v, g = jax.value_and_grad(loss)(y)
+    assert np.isfinite(float(v))
+    assert bool(jnp.all(jnp.isfinite(g))), "SSIM grad not finite on smooth bf16 input"
+    # the bf16-stat form also violates |SSIM| <= 1 (negative denominators:
+    # observed max 1.48 on this input); the f32-stat form must stay bounded
+    s = np.abs(np.asarray(ssim(x, y).astype(jnp.float32)))
+    assert s.max() <= 1.0 + 1e-2, f"SSIM out of range: {s.max()}"

@@ -26,7 +26,19 @@ def _avg3x3(x: jax.Array) -> jax.Array:
 
 
 def ssim(x: jax.Array, y: jax.Array) -> jax.Array:
-    """Per-pixel SSIM map of two NHWC images."""
+    """Per-pixel SSIM map of two NHWC images.
+
+    Computed in f32 regardless of the input compute dtype (the reference runs
+    f32 throughout): bf16's 8-bit mantissa makes the variance E[x^2]-E[x]^2
+    catastrophically cancel in smooth image regions, driving (sigma_x +
+    sigma_y + c2) through zero -- observed as a NaN loss_flow_ssim GRADIENT
+    on the first full-resolution KITTI-like batch, which poisons training in
+    one optimizer step. The f32 stats cost ~nothing (the pools are
+    bandwidth-bound either way).
+    """
+    dt = x.dtype
+    x = x.astype(jnp.float32)
+    y = y.astype(jnp.float32)
     c1 = 0.01**2
     c2 = 0.03**2
     mu_x = _avg3x3(x)
@@ -36,4 +48,4 @@ def ssim(x: jax.Array, y: jax.Array) -> jax.Array:
     sigma_xy = _avg3x3(x * y) - mu_x * mu_y
     num = (2 * mu_x * mu_y + c1) * (2 * sigma_xy + c2)
     den = (mu_x * mu_x + mu_y * mu_y + c1) * (sigma_x + sigma_y + c2)
-    return num / den
+    return (num / den).astype(dt)
