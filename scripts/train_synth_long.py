@@ -82,7 +82,10 @@ def synth_eval(eval_set, flow_fn, disp_fn, do_flow=True, do_depth=True):
             epes.append(float(np.linalg.norm(flow - gt, axis=-1)[inb].mean()))
 
         if do_depth:
-            disp = np.asarray(disp_fn(img_c[None]))[0, ..., 0]
+            sigma = np.asarray(disp_fn(img_c[None]))[0, ..., 0]
+            # mirror the reference eval chain (eval_tasks.test_eigen_depth):
+            # sigma trains as depth; infer_depth bounds it, eval re-inverts
+            disp = 1.0 / (0.01 + (10.0 - 0.01) * sigma)
             pred_depth = 1.0 / (disp + 1e-4)
             gt_depth = s["depth"]
             m = s["valid"] & (gt_depth > 1e-3) & (gt_depth < 80.0)

@@ -130,11 +130,14 @@ def test_nyu_depth(cfg, disp_fn, test_images, test_gt_depths, batch_size: int = 
                 for im in group
             ]
         )
-        d = np.asarray(disp_fn(jnp.asarray(batch)))[..., 0]
+        sigma = np.asarray(disp_fn(jnp.asarray(batch)))[..., 0]
+        # sigma trains as depth; the reference scores 1/resize(infer_depth)
+        # = affine(sigma) (test.py:197-206,236) -- see eval_tasks.test_eigen_depth
+        d = 1.0 / (0.01 + (10.0 - 0.01) * sigma)
         disps.extend(d[i] for i in range(d.shape[0]))
 
     pred_depths = []
     for disp, gt in zip(disps, crop_depths):
         gh, gw = gt.shape
-        pred_depths.append(1.0 / (cv2.resize(disp, (gw, gh)) + 1e-6))
+        pred_depths.append(1.0 / cv2.resize(disp, (gw, gh)))
     return eval_depth(crop_depths, pred_depths, nyu=True)

@@ -135,9 +135,17 @@ def test_kitti_flow(cfg: Config, flow_fn, gt_flows, noc_masks, mode: str,
 def test_eigen_depth(cfg: Config, disp_fn, batch_size: int = 8):
     """Eigen-split depth eval (test.py:102-132).
 
-    Reads test_files.txt frames from raw_base_dir, infers disp at the training
-    resolution, resizes to GT and scores depth = 1/(disp + 1e-4) with median
-    scaling.
+    CONVENTION (subtle but load-bearing): the joint objective trains the
+    sigmoid head's output as DEPTH directly (model_geometry.py:798-801 feeds
+    disp_list into inverse_warp2's depth slot), and the reference's eval
+    chain double-inverts -- ``infer_depth`` returns 1/(0.01+9.99*sigma)
+    (disp2depth, model_geometry.py:282-292) and ``resize_depths`` inverts
+    that AGAIN (test.py:88-99) -- so the scored depth is affine in the raw
+    sigma, CONSISTENT with training. Scoring 1/(sigma+1e-4) instead produces
+    an anti-correlated depth map and garbage AbsRel (observed 5.7 on a
+    trained model vs 1.39 for a constant). We mirror the reference's exact
+    chain: resize infer_depth's output to GT, then 1/(x + 1e-4), then Garg
+    crop + median scaling.
     """
     files_txt = cfg.eigen_test_files_txt or "./data/eigen/test_files.txt"
     gt_npz = cfg.eigen_gt_depths_npz or "./data/eigen/gt_depths.npz"
@@ -155,7 +163,9 @@ def test_eigen_depth(cfg: Config, disp_fn, batch_size: int = 8):
     disps = []
     for group in _batched(imgs, batch_size):
         batch = jnp.asarray(np.stack(group))
-        d = np.asarray(disp_fn(batch))[..., 0]
+        sigma = np.asarray(disp_fn(batch))[..., 0]
+        # infer_depth's bounded transform (disp2depth with min 0.1 max 100)
+        d = 1.0 / (0.01 + (10.0 - 0.01) * sigma)
         disps.extend(d[i] for i in range(d.shape[0]))
 
     gt_depths = np.load(gt_npz, allow_pickle=True)["data"]
@@ -273,7 +283,10 @@ def test_single_image(img_path: str, disp_fn, training_hw, save_dir: str = "./")
     img = cv2.imread(img_path)
     h, w = img.shape[:2]
     resized = cv2.resize(img, (training_hw[1], training_hw[0])).astype(np.float32) / 255.0
-    disp = np.asarray(disp_fn(jnp.asarray(resized[None])))[0, ..., 0]
+    sigma = np.asarray(disp_fn(jnp.asarray(resized[None])))[0, ..., 0]
+    # the reference demo colormaps infer_depth's output (bounded disparity
+    # 1/(0.01+9.99*sigma), test.py:252-264) -- sigma itself trains as depth
+    disp = 1.0 / (0.01 + (10.0 - 0.01) * sigma)
     disp_resized = cv2.resize(disp, (w, h))
     os.makedirs(save_dir, exist_ok=True)
     save_disp_color_img(disp_resized, os.path.join(save_dir, "demo.png"))
