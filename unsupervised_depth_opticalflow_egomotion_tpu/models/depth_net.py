@@ -23,7 +23,11 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from ..ops.interp import upsample2x_bilinear
-from ..ops.packed_conv import depth_to_space, space_to_depth
+from ..ops.packed_conv import (
+    depth_to_space,
+    packed_upsample2x_bilinear,
+    space_to_depth,
+)
 from .layers import ReflectConv3x3, kaiming_normal_out, max_pool_3x3_s2_p1
 
 _DEC_CH = (16, 32, 64, 128, 256)
@@ -152,15 +156,20 @@ class DepthDecoder(nn.Module):
                 dtype=self.dtype,
             )(x)
             idx += 1
-            if is_packed:
-                x = depth_to_space(x)
-                is_packed = False
-            x = upsample2x_bilinear(x)
-            if scale > 0:
-                x = jnp.concatenate([x, features[scale - 1]], axis=-1)
-            if self.packed and scale <= 1:
-                x = space_to_depth(x)
-                is_packed = True
+            if is_packed and scale == 0:
+                # no skip concat at scale 0: upsample without leaving packed
+                # space (saves two full-res transposes + resize layout copies)
+                x = packed_upsample2x_bilinear(x)
+            else:
+                if is_packed:
+                    x = depth_to_space(x)
+                    is_packed = False
+                x = upsample2x_bilinear(x)
+                if scale > 0:
+                    x = jnp.concatenate([x, features[scale - 1]], axis=-1)
+                if self.packed and scale <= 1:
+                    x = space_to_depth(x)
+                    is_packed = True
             x = ConvBlock(
                 _DEC_CH[scale], packed=is_packed, name=f"ConvBlock_{idx}",
                 dtype=self.dtype,

@@ -4,9 +4,10 @@ One Flax module hosts the four sub-networks and exposes the three training
 objectives as methods (selected statically at trace time, so each mode jits to
 its own tight XLA program):
 
-- ``forward_flow``: PWC flow with soft diff-weight occlusion masking
-  (/root/reference/core/networks/model_flow.py:209-261, with the published
-  crash bugs fixed by design -- survey defects 1-3)
+- ``forward_flow``: PWC flow with forward-splat occlusion masking -- the
+  scheme the reference defines but never ships working
+  (model_flow.py:33-39's transformerFwd; the published soft diff-weight
+  variant crashes AND is degenerate, see the deviation note in the method)
 - ``forward_depth``: depth+pose photometric objective
   (/root/reference/core/networks/model_depth.py:272-337)
 - ``forward_geom``: the flagship joint objective with dynamic-region masks,
@@ -39,6 +40,7 @@ from ..ops.inverse_warp_multi import multiscale_recon_dynamic, multiscale_recons
 from ..ops.pnp import batched_pnp
 from ..ops.ransac import batched_ransac_fundamental
 from ..ops.sampling import sample_matches
+from ..ops.splat import occlusion_mask_from_flow
 from ..ops.triangulation import midpoint_triangulate, register_depth, reproject
 from ..ops.warp import warp_flow
 from .depth_net import DepthNet
@@ -160,21 +162,48 @@ class JointModel(nn.Module):
         warped_from_l = [x[:bsz] for x in warped2]
         warped_from_r = [x[bsz:] for x in warped2]
 
-        diff_bwd, diff_fwd, w_bwd, w_fwd = M.diff_weights(
-            warped_from_l, img_pyr, warped_from_r
-        )
+        # DELIBERATE DEVIATION from model_flow.py's soft diff-weights
+        # (2*exp(-(w-0.5)^2/0.03), model_flow.py:105-138): that objective was
+        # never runnable as published (survey defects 1-2) and is degenerate
+        # -- the soft weights reach 2.0, so the consistency loss's (1 - occ)
+        # mask goes NEGATIVE (observed loss_flow_consis = -10.8 in training),
+        # and any comparative photometric mask (incl. the geom-mode hard
+        # threshold) is winner-take-all between the two directions: once one
+        # direction fits, the other's mask goes to zero image-wide, its
+        # gradient dies, and the shared decoder emits the wrong-sign flow
+        # (measured: pixel-only training converges to +2 on a -2 ground
+        # truth with near-zero loss). The occlusion model here is the one the
+        # reference DEFINES for this purpose but never ships working
+        # (get_occlusion_mask_from_flow, model_flow.py:33-39 = TrianFlow's
+        # transformerFwd): forward-splat ones along the approximate inverse
+        # flow (-flow, exact away from occlusion boundaries for our
+        # center->side pairs); pixels receiving no mass are occluded. The
+        # mask is geometric, direction-independent, and all-ones at the
+        # zero-flow init -- a natural warm start.
+        occ_fwd = [occlusion_mask_from_flow(-f) for f in flows_fwd]
+        occ_bwd = [occlusion_mask_from_flow(-f) for f in flows_bwd]
+        valid_fwd = [
+            1.0 - jnp.all(wr == 0, axis=-1, keepdims=True).astype(wr.dtype)
+            for wr in warped_from_r
+        ]
+        valid_bwd = [
+            1.0 - jnp.all(wl == 0, axis=-1, keepdims=True).astype(wl.dtype)
+            for wl in warped_from_l
+        ]
+        mask_fwd = M.fuse_masks(valid_fwd, occ_fwd)
+        mask_bwd = M.fuse_masks(valid_bwd, occ_bwd)
 
         # Losses run over num_scales scales even though 4 flows are predicted
         # (model_flow.py loops range(self.num_scales)).
         ns = self.num_scales
         loss_pack = {
-            "loss_flow_pixel": L.masked_diff_loss(diff_fwd[:ns], w_fwd[:ns])
-            + L.masked_diff_loss(diff_bwd[:ns], w_bwd[:ns]),
-            "loss_flow_ssim": L.ssim_loss(img_pyr[:ns], warped_from_r[:ns], w_fwd[:ns])
-            + L.ssim_loss(img_pyr[:ns], warped_from_l[:ns], w_bwd[:ns]),
+            "loss_flow_pixel": L.photometric_loss(img_pyr[:ns], warped_from_l[:ns], mask_bwd[:ns])
+            + L.photometric_loss(img_pyr[:ns], warped_from_r[:ns], mask_fwd[:ns]),
+            "loss_flow_ssim": L.ssim_loss(img_pyr[:ns], warped_from_r[:ns], mask_fwd[:ns])
+            + L.ssim_loss(img_pyr[:ns], warped_from_l[:ns], mask_bwd[:ns]),
             "loss_flow_smooth": L.flow_smooth_loss(flows_fwd[:ns], img_pyr[:ns])
             + L.flow_smooth_loss(flows_bwd[:ns], img_pyr[:ns]),
-            "loss_flow_consis": L.flow_consis_loss(flows_fwd[:ns], flows_bwd[:ns], w_fwd[:ns]),
+            "loss_flow_consis": L.flow_consis_loss(flows_fwd[:ns], flows_bwd[:ns], occ_fwd[:ns]),
         }
         return loss_pack
 

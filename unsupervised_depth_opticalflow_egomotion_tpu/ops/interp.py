@@ -55,9 +55,35 @@ def resize_area(x: jax.Array, hw: tuple[int, int]) -> jax.Array:
 
 
 def upsample2x_bilinear(x: jax.Array) -> jax.Array:
-    """x2 bilinear upsample (align_corners=False), used between PWC levels."""
+    """x2 bilinear upsample (align_corners=False), used between PWC levels
+    and decoder scales.
+
+    Closed form for the exact factor 2: output row 2i = 0.75*y[i] +
+    0.25*y[i-1], row 2i+1 = 0.75*y[i] + 0.25*y[i+1] (edges clamped), then the
+    same along columns. Implemented as shifted adds + interleave reshapes:
+    jax.image.resize lowers to per-axis dot_generals whose operand layouts
+    cost full-tensor copies on TPU (visible as multi-hundred-MB 'data
+    formatting' in the step profile); this form fuses into two VPU passes.
+    """
     b, h, w, c = x.shape
-    return jax.image.resize(x, (b, 2 * h, 2 * w, c), method="linear", antialias=False)
+
+    def axis_up(y, axis):
+        lo = jnp.concatenate(
+            [jax.lax.slice_in_dim(y, 0, 1, axis=axis),
+             jax.lax.slice_in_dim(y, 0, y.shape[axis] - 1, axis=axis)], axis
+        )
+        hi = jnp.concatenate(
+            [jax.lax.slice_in_dim(y, 1, y.shape[axis], axis=axis),
+             jax.lax.slice_in_dim(y, y.shape[axis] - 1, y.shape[axis], axis=axis)], axis
+        )
+        even = 0.75 * y + 0.25 * lo
+        odd = 0.75 * y + 0.25 * hi
+        st = jnp.stack([even, odd], axis=axis + 1)
+        shape = list(y.shape)
+        shape[axis] *= 2
+        return st.reshape(shape)
+
+    return axis_up(axis_up(x, 1), 2)
 
 
 def image_pyramid(img: jax.Array, num_scales: int, mode: str = "bilinear") -> list[jax.Array]:

@@ -58,11 +58,18 @@ def occlusion_weights(warped_from_l, imgs, warped_from_r):
 
 
 def diff_weights(warped_from_l, imgs, warped_from_r):
-    """Soft occlusion weights for the flow-only objective.
+    """Soft occlusion weights of the reference's (unrunnable) flow-only mode.
 
     weight = 2*exp(-(w-0.5)^2/0.03) * valid, where w = 1 - softmax(diffs)
     (model_flow.py:105-138). Returns (diff_bwd, diff_fwd, weight_bwd,
     weight_fwd) pyramids; diffs are channel-mean photometric residuals.
+
+    NOT used by the live flow objective: the weights reach 2.0, which makes
+    the consistency loss's (1 - occ) mask negative and lets the pixel term
+    be silenced by divergent diffs; model_flow.py also never ran as
+    published (survey defects 1-2). Kept as the faithful record of that
+    scheme; JointModel.forward_flow uses the geom-mode hard occlusion masks
+    instead (see the deviation note there).
     """
     diff_bwd, diff_fwd, weight_bwd, weight_fwd = [], [], [], []
     for img_from_l, img, img_from_r in zip(warped_from_l, imgs, warped_from_r):

@@ -116,21 +116,68 @@ def packed_reflect_pad1(xp: jax.Array) -> jax.Array:
     side whose referenced sub-rows/cols hold the reflected rows (row -1 =
     x[1] = block 0 dy=1; row H = x[H-2] = last block dy=0); the structurally
     unreferenced sub-positions (rows -2, H+1) are zero. Composes with a
-    VALID packed conv (pack_kernel stride 1) to reproduce ReflectConv3x3."""
+    VALID packed conv (pack_kernel stride 1) to reproduce ReflectConv3x3.
+
+    Built from pure 4D channel slices (channel layout (dy*2+dx)*C + c: dy
+    groups are the two contiguous halves, dx groups the two contiguous
+    quarters inside each) -- an earlier 6D-reshape + .at[].set construction
+    materialized ~6 full copies of the padded tensor per conv (~1.5 GB/step
+    of 'data formatting' in the profile)."""
     b, hp, wp_, c4 = xp.shape
     c = c4 // 4
-    v = xp.reshape(b, hp, wp_, 2, 2, c)
-    zero_row = jnp.zeros_like(v[:, :1])
-    # top halo: dy=1 slot <- block 0's dy=1; dy=0 slot zero
-    top = zero_row.at[:, :, :, 1].set(v[:, :1, :, 1])
-    # bottom halo: dy=0 slot <- last block's dy=0
-    bot = zero_row.at[:, :, :, 0].set(v[:, -1:, :, 0])
-    v = jnp.concatenate([top, v, bot], axis=1)
-    zero_col = jnp.zeros_like(v[:, :, :1])
-    left = zero_col.at[:, :, :, :, 1].set(v[:, :, :1, :, 1])
-    right = zero_col.at[:, :, :, :, 0].set(v[:, :, -1:, :, 0])
-    v = jnp.concatenate([left, v, right], axis=2)
-    return v.reshape(b, hp + 2, wp_ + 2, c4)
+    z2 = jnp.zeros((b, 1, wp_, 2 * c), xp.dtype)
+    # top halo row-block: dy=0 half zero, dy=1 half = block 0's dy=1 channels
+    top = jnp.concatenate([z2, xp[:, :1, :, 2 * c :]], axis=-1)
+    bot = jnp.concatenate([xp[:, -1:, :, : 2 * c], z2], axis=-1)
+    v = jnp.concatenate([top, xp, bot], axis=1)
+    # left halo col-block: dx=0 quarters zero, dx=1 quarters = col 0's dx=1
+    zc = jnp.zeros((b, hp + 2, 1, c), xp.dtype)
+    left = jnp.concatenate(
+        [zc, v[:, :, :1, c : 2 * c], zc, v[:, :, :1, 3 * c :]], axis=-1
+    )
+    right = jnp.concatenate(
+        [v[:, :, -1:, :c], zc, v[:, :, -1:, 2 * c : 3 * c], zc], axis=-1
+    )
+    return jnp.concatenate([left, v, right], axis=2)
+
+
+def packed_upsample2x_bilinear(xp: jax.Array) -> jax.Array:
+    """2x bilinear upsample (align_corners=False) in packed space.
+
+    Equals space_to_depth(upsample2x_bilinear(depth_to_space(xp))) without
+    the two pack/unpack transposes and the resize's layout copies. Closed
+    form per axis on the packed sub-position groups: for logical rows
+    y[2k]=A_k (dy=0 channels), y[2k+1]=B_k, the upsampled packed output
+    interleaves blocks (0.75A+0.25B_prev | 0.75A+0.25B) and
+    (0.75B+0.25A | 0.75B+0.25A_next), edges clamped.
+    """
+    b, hp, wp_, c4 = xp.shape
+    c2 = c4 // 2
+    c = c4 // 4
+
+    # row pass on the dy halves
+    A, B = xp[..., :c2], xp[..., c2:]
+    Bprev = jnp.concatenate([A[:, :1], B[:, :-1]], axis=1)
+    Anext = jnp.concatenate([A[:, 1:], B[:, -1:]], axis=1)
+    even = jnp.concatenate([0.75 * A + 0.25 * Bprev, 0.75 * A + 0.25 * B], axis=-1)
+    odd = jnp.concatenate([0.75 * B + 0.25 * A, 0.75 * B + 0.25 * Anext], axis=-1)
+    t = jnp.stack([even, odd], axis=2).reshape(b, 2 * hp, wp_, c4)
+
+    # column pass on the dx quarters inside each dy half
+    evens, odds = [], []
+    for h0 in (0, c2):
+        Aq, Bq = t[..., h0 : h0 + c], t[..., h0 + c : h0 + c2]
+        Bp = jnp.concatenate([Aq[:, :, :1], Bq[:, :, :-1]], axis=2)
+        An = jnp.concatenate([Aq[:, :, 1:], Bq[:, :, -1:]], axis=2)
+        evens.append(
+            jnp.concatenate([0.75 * Aq + 0.25 * Bp, 0.75 * Aq + 0.25 * Bq], axis=-1)
+        )
+        odds.append(
+            jnp.concatenate([0.75 * Bq + 0.25 * Aq, 0.75 * Bq + 0.25 * An], axis=-1)
+        )
+    even_c = jnp.concatenate(evens, axis=-1)
+    odd_c = jnp.concatenate(odds, axis=-1)
+    return jnp.stack([even_c, odd_c], axis=3).reshape(b, 2 * hp, 2 * wp_, c4)
 
 
 def packed_conv_reflect(
