@@ -279,3 +279,29 @@ def test_ssim_bf16_smooth_region_grad_finite():
     # observed max 1.48 on this input); the f32-stat form must stay bounded
     s = np.abs(np.asarray(ssim(x, y).astype(jnp.float32)))
     assert s.max() <= 1.0 + 1e-2, f"SSIM out of range: {s.max()}"
+
+
+def test_flow_normalization_zero_flow_grad_finite():
+    """bf16 zero-flow pixels must not NaN the consistency gradient
+    (ops/masks.py:flow_normalization computes sqrt(s + eps) so the gradient
+    is finite at zero; a 12k-step flow run died at step 5800 without it)."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from unsupervised_depth_opticalflow_egomotion_tpu.ops.masks import (
+        flow_normalization,
+    )
+
+    rng = np.random.RandomState(0)
+    f = rng.randn(2, 8, 16, 2).astype(np.float32)
+    f[0, 2, 3] = 0.0  # exactly-zero flow pixel
+    f[1, 5, 7] = 1e-20  # denormal-underflow territory
+    x = jnp.asarray(f, jnp.bfloat16)
+
+    def loss(x):
+        return jnp.sum(jnp.abs(flow_normalization(x)).astype(jnp.float32))
+
+    v, g = jax.value_and_grad(loss)(x)
+    assert np.isfinite(float(v))
+    assert bool(jnp.all(jnp.isfinite(g))), "flow_normalization grad not finite"

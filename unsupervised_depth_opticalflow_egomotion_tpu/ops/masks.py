@@ -25,8 +25,21 @@ def flow_norm(flow: jax.Array, p: int = 2) -> jax.Array:
 
 
 def flow_normalization(flow: jax.Array, p: int = 2) -> jax.Array:
-    """Unit-norm flow (model_geometry.py:56-63)."""
-    return flow / flow_norm(flow, p)
+    """Unit-norm flow (model_geometry.py:56-63).
+
+    Computed in f32 with the epsilon INSIDE the radical: with the reference's
+    sqrt(s) + 1e-12 form, d sqrt/ds = 1/(2 sqrt(s)) is inf at an exactly-zero
+    flow pixel and the chain emits 0*inf = NaN -- one such pixel killed a
+    12k-step flow run at step 5800. sqrt(s + 1e-12) has a finite gradient
+    everywhere and differs by <= 5e-13 px in the norm -- far inside the
+    parity-test tolerance.
+    """
+    f32 = flow.astype(jnp.float32)
+    if p == 2:
+        n = jnp.sqrt(jnp.sum(f32 * f32, axis=-1, keepdims=True) + 1e-12)
+    else:
+        n = (jnp.sum(jnp.abs(f32) ** p, axis=-1, keepdims=True) + 1e-12) ** (1.0 / p)
+    return (f32 / (n + 1e-12)).astype(flow.dtype)
 
 
 def occlusion_weights(warped_from_l, imgs, warped_from_r):
