@@ -116,6 +116,9 @@ def main():
     ap.add_argument("--image_every", type=int, default=1000)
     ap.add_argument("--lr", type=float, default=1e-4)
     ap.add_argument("--grad_clip", type=float, default=0.0)
+    ap.add_argument("--fix_flow", action="store_true")
+    ap.add_argument("--fix_depth", action="store_true")
+    ap.add_argument("--fix_pose", action="store_true")
     # the reference's curriculum is flow -> depth -> geom with staged init
     # (/root/reference/train.py:36-55); geom-from-scratch was observed to
     # learn far slower (flow EPE flat over 1k steps while SSIM creeps down)
@@ -141,6 +144,9 @@ def main():
         batch_size=args.batch,
         lr=args.lr,
         grad_clip_norm=args.grad_clip,
+        fix_flow=args.fix_flow,
+        fix_depth=args.fix_depth,
+        fix_pose=args.fix_pose,
         num_iterations=args.steps,
         model_dir=args.out,
     )
@@ -149,12 +155,24 @@ def main():
     # the depth/pose nets from the depth-stage one (train.py:36-55 semantics)
     from unsupervised_depth_opticalflow_egomotion_tpu.utils import graft_params
 
+    donor_template = None
     for stage_dir, keys in (
         (args.graft_flow, ("fpyramid", "pwc")),
         (args.graft_depth, ("depth_net", "pose_net")),
     ):
         if stage_dir:
-            donor = CheckpointManager(stage_dir).restore(state)
+            if donor_template is None:
+                if args.fix_flow or args.fix_depth or args.fix_pose:
+                    # donor stages trained unfrozen -> their opt_state tree
+                    # differs from a frozen run's; restore against an
+                    # unfrozen template (only params are grafted anyway)
+                    _, donor_template = init_state(
+                        cfg.replace(fix_flow=False, fix_depth=False, fix_pose=False),
+                        jax.random.PRNGKey(0),
+                    )
+                else:
+                    donor_template = state
+            donor = CheckpointManager(stage_dir).restore(donor_template)
             subset = {k: donor.params[k] for k in keys if k in donor.params}
             state = state.replace(params=graft_params(state.params, subset))
             print(f"grafted {keys} from {stage_dir}")
