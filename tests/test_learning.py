@@ -97,3 +97,83 @@ def test_flow_mode_learns_synthetic_shift():
 
     occ = np.asarray(occlusion_mask_from_flow(jnp.asarray(-flow)))
     assert float(occ.mean()) > 0.9, f"occlusion mask collapsed: mean {occ.mean():.3f}"
+
+
+def test_flow_objective_sign_convention():
+    """The live flow loss pipeline has its minimum at the TRUE flow and its
+    gradient at zero flow points toward it -- pins warp direction + loss
+    sign end-to-end on CPU.
+
+    The full flow-mode train test above cannot validate convergence-to-GT
+    (the PWC pyramid degenerates at toy resolution), so this bypasses the
+    network and probes the objective itself (photometric + ssim with
+    forward-splat occlusion, the forward_flow composition) on a known-shift
+    scene: (a) the loss landscape over constant flows is minimized at the
+    true shift and increases on the wrong side, and (b) gradient descent on
+    a raw flow field moves it in the true direction. A sign/convention
+    regression in warp_flow, the loss reductions, or the occlusion masking
+    flips either check.
+    """
+    import optax
+
+    from unsupervised_depth_opticalflow_egomotion_tpu.ops import losses as L
+    from unsupervised_depth_opticalflow_egomotion_tpu.ops import masks as M
+    from unsupervised_depth_opticalflow_egomotion_tpu.ops.splat import (
+        occlusion_mask_from_flow,
+    )
+    from unsupervised_depth_opticalflow_egomotion_tpu.ops.warp import warp_flow
+
+    pytest.importorskip("scipy")
+    batch = make_shifted_batch(batch=1)
+    images = batch[0]
+    img = images[:, H : 2 * H]
+    img_r = images[:, 2 * H :]  # scene content shifted LEFT by SHIFT px
+    # true forward flow (center -> right): x + flow lands on the matching
+    # pixel of img_r, so flow_x = -SHIFT
+    true_fx = -float(SHIFT)
+
+    def loss_fn(flow):
+        warped = warp_flow(img_r, flow, use_mask=True)
+        occ = [occlusion_mask_from_flow(-flow)]
+        valid = [1.0 - jnp.all(warped == 0, axis=-1, keepdims=True).astype(warped.dtype)]
+        mask = M.fuse_masks(valid, occ)
+        pix = L.photometric_loss([img], [warped], mask)
+        ssim = L.ssim_loss([img], [warped], mask)
+        return jnp.mean(0.15 * pix + 0.85 * ssim)
+
+    def const_flow(fx):
+        return jnp.zeros((1, H, W, 2), jnp.float32).at[..., 0].set(fx)
+
+    # (a) landscape: minimum at the true shift, monotone from 0 toward it,
+    # and WORSE on the wrong side of zero
+    l_true = float(loss_fn(const_flow(true_fx)))
+    l_half = float(loss_fn(const_flow(true_fx / 2)))
+    l_zero = float(loss_fn(const_flow(0.0)))
+    l_wrong = float(loss_fn(const_flow(-true_fx)))
+    assert l_true < 0.2 * l_zero, f"no minimum at true flow: {l_true} vs {l_zero}"
+    assert l_true < l_half < l_zero < l_wrong, (
+        f"loss not descending toward true flow: {l_true}, {l_half}, {l_zero}, {l_wrong}"
+    )
+
+    # (b) descent direction: optimizing the raw flow field moves it toward
+    # the true shift (per-pixel descent without a smoothness coupling stalls
+    # before full convergence -- the direction is the invariant under test)
+    flow = jnp.zeros((1, H, W, 2), jnp.float32)
+    tx = optax.adam(0.1)
+    opt = tx.init(flow)
+
+    @jax.jit
+    def do_step(f, o):
+        g = jax.grad(loss_fn)(f)
+        updates, o = tx.update(g, o, f)
+        return optax.apply_updates(f, updates), o
+
+    for _ in range(100):
+        flow, opt = do_step(flow, opt)
+
+    fx = np.asarray(flow)[0, 4:-4, 8:-8, 0]  # interior (borders lack evidence)
+    med = float(np.median(fx))
+    assert np.isfinite(med)
+    assert np.sign(med) == np.sign(true_fx) and abs(med) > 0.05, (
+        f"flow objective drove median flow_x to {med}, expected toward {true_fx}"
+    )

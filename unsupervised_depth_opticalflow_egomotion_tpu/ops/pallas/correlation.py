@@ -78,17 +78,20 @@ def correlation_pallas(
     return jnp.transpose(out, (0, 2, 3, 1))
 
 
-# Largest per-batch-item working set (elements) the kernel is allowed; above
-# this the v5e Mosaic compile fails (observed at the 64x208x32 level), so
-# correlation_vjp falls back to the fused-XLA formulation there.
-_VMEM_ELEM_BOUND = 1_500_000
+# Largest per-batch-item working set (bytes) the kernel is allowed; above
+# this the v5e Mosaic compile fails (observed at the 64x208x32 bf16 level:
+# ~1.5M elements x 2 bytes), so correlation_vjp falls back to the fused-XLA
+# formulation there. Expressed in bytes so an f32 run halves the element
+# budget instead of overrunning VMEM at compile time.
+_VMEM_BYTE_BOUND = 3_000_000
 
 
-def pallas_fits(shape, md: int = 4) -> bool:
+def pallas_fits(shape, md: int = 4, dtype=jnp.bfloat16) -> bool:
     """Whether the kernel's VMEM working set fits for a [B,H,W,C] level."""
     _, h, w, c = shape
     n = 2 * md + 1
-    return (h + 2 * md) * (w + 2 * md) * c + n * n * h * w + h * w * c <= _VMEM_ELEM_BOUND
+    elems = (h + 2 * md) * (w + 2 * md) * c + n * n * h * w + h * w * c
+    return elems * jnp.dtype(dtype).itemsize <= _VMEM_BYTE_BOUND
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2,))

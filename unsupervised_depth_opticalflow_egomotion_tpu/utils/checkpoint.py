@@ -33,11 +33,31 @@ class CheckpointManager:
         return self.manager.latest_step()
 
     def restore(self, state_like: Any, step: Optional[int] = None) -> Any:
-        """Restore into the structure of ``state_like`` (abstract or concrete)."""
+        """Restore into the structure of ``state_like`` (abstract or concrete).
+
+        CHECKPOINT-FORMAT NOTE: the optimizer-state tree depends on the
+        freezing configuration -- unfrozen runs use ``optax.flatten`` (one
+        raveled Adam vector) while any ``fix_*`` flag keeps per-leaf moments
+        under ``optax.multi_transform`` (parallel/train_step.py:make_optimizer).
+        A checkpoint saved under one layout cannot restore into the other; the
+        stage hand-off path avoids this by restoring against a donor-matching
+        template and grafting only params (scripts/train_synth_long.py).
+        """
         step = step if step is not None else self.latest_step()
         if step is None:
             raise FileNotFoundError(f"no checkpoint found in {self.directory}")
-        return self.manager.restore(step, args=ocp.args.StandardRestore(state_like))
+        try:
+            return self.manager.restore(step, args=ocp.args.StandardRestore(state_like))
+        except Exception as e:  # augment tree-mismatch errors with the likely cause
+            raise RuntimeError(
+                f"{e}\n[checkpoint] restore into {self.directory} step {step} failed. "
+                "If the error is an opt_state tree/shape mismatch: checkpoints "
+                "saved with a different fix_flow/fix_depth/fix_pose configuration "
+                "use a different optimizer-state layout (optax.flatten vs "
+                "multi_transform). Restore with a template built from the SAME "
+                "freezing flags the checkpoint was trained with, then graft the "
+                "params onto your state (utils.graft_params)."
+            ) from e
 
     def close(self):
         self.manager.close()
