@@ -132,8 +132,19 @@ def test_kitti_flow(cfg: Config, flow_fn, gt_flows, noc_masks, mode: str,
     return eval_flow_avg(gt_flows, noc_masks, flows, cfg.img_hw, moving_masks=moving_masks)
 
 
+# Decoded+resized uint8 test frames, keyed by (path, h, w): interleaved
+# training evals hit the same 697 PNGs every test_interval; caching the
+# resized uint8 (~0.6 MB/frame) avoids re-decoding them each time while
+# holding 3x less than a f32 copy would.
+_EIGEN_DECODE_CACHE: dict = {}
+
+
 def test_eigen_depth(cfg: Config, disp_fn, batch_size: int = 8):
-    """Eigen-split depth eval (test.py:102-132).
+    """Eigen-split depth eval (test.py:102-132), streamed batch-by-batch.
+
+    Only one batch of f32 frames and one predicted disparity batch are
+    resident at a time (the round-2 version materialized all 697 test frames
+    as f32 -- ~1.8 GB -- and re-decoded them every interleaved eval).
 
     CONVENTION (subtle but load-bearing): the joint objective trains the
     sigmoid head's output as DEPTH directly (model_geometry.py:798-801 feeds
@@ -150,31 +161,39 @@ def test_eigen_depth(cfg: Config, disp_fn, batch_size: int = 8):
     files_txt = cfg.eigen_test_files_txt or "./data/eigen/test_files.txt"
     gt_npz = cfg.eigen_gt_depths_npz or "./data/eigen/gt_depths.npz"
     with open(files_txt) as f:
-        filenames = f.readlines()
+        paths = []
+        for line in f:
+            path1, idx = line.strip().split(" ")[:2]
+            paths.append(
+                os.path.join(cfg.raw_base_dir, path1, "image_02/data", str(idx) + ".png")
+            )
     h, w = cfg.img_hw
-    imgs = []
-    for line in filenames:
-        path1, idx = line.strip().split(" ")[:2]
-        img = cv2.imread(
-            os.path.join(cfg.raw_base_dir, path1, "image_02/data", str(idx) + ".png")
-        )
-        imgs.append(cv2.resize(img, (w, h)).astype(np.float32) / 255.0)
 
-    disps = []
-    for group in _batched(imgs, batch_size):
-        batch = jnp.asarray(np.stack(group))
+    def _decode(path):
+        key = (path, h, w)
+        img = _EIGEN_DECODE_CACHE.get(key)
+        if img is None:
+            img = cv2.resize(cv2.imread(path), (w, h))  # uint8
+            _EIGEN_DECODE_CACHE[key] = img
+        return img
+
+    gt_depths = np.load(gt_npz, allow_pickle=True)["data"]
+    per_image = []
+    i = 0
+    for group in _batched(paths, batch_size):
+        batch = jnp.asarray(
+            np.stack([_decode(p) for p in group]).astype(np.float32) / 255.0
+        )
         sigma = np.asarray(disp_fn(batch))[..., 0]
         # infer_depth's bounded transform (disp2depth with min 0.1 max 100)
         d = 1.0 / (0.01 + (10.0 - 0.01) * sigma)
-        disps.extend(d[i] for i in range(d.shape[0]))
-
-    gt_depths = np.load(gt_npz, allow_pickle=True)["data"]
-    pred_depths = []
-    for gt, disp in zip(gt_depths, disps):
-        gh, gw = gt.shape
-        disp_r = cv2.resize(disp, (gw, gh))
-        pred_depths.append(1.0 / (disp_r + 1e-4))
-    return eval_depth(gt_depths, pred_depths)
+        for j in range(d.shape[0]):
+            gt = gt_depths[i]
+            gh, gw = gt.shape
+            disp_r = cv2.resize(d[j], (gw, gh))
+            per_image.append(eval_depth([gt], [1.0 / (disp_r + 1e-4)]))
+            i += 1
+    return list(np.mean(np.asarray(per_image, np.float64), axis=0))
 
 
 def test_pose_odom(cfg: Config, pose_fn, batch_size: int = 8):
