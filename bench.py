@@ -62,7 +62,12 @@ def main():
     step_fn = make_train_step(model, cfg, tx)
 
     rng = np.random.RandomState(0)
-    images = jax.numpy.asarray(rng.rand(batch_size, 3 * h, w, 3).astype(np.float32))
+    # uint8 frames: what BatchLoader ships (uint8_images fast path) -- keeps
+    # the bench on the production input path (device-side normalization +
+    # raw-uint8 warp gathers)
+    images = jax.numpy.asarray(
+        (rng.rand(batch_size, 3 * h, w, 3) * 255).astype(np.uint8)
+    )
     K = np.array([[241.0, 0, w / 2], [0, 245.0, h / 2], [0, 0, 1]], np.float32)
     K_ms = np.stack([np.diag([1 / 2**s, 1 / 2**s, 1.0]).astype(np.float32) @ K for s in range(3)])
     K_inv_ms = np.stack([np.linalg.inv(k) for k in K_ms])

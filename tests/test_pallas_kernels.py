@@ -58,3 +58,63 @@ class TestCorrelationPallas:
     def test_vmem_bound(self):
         assert pallas_fits((16, 16, 52, 96))
         assert not pallas_fits((16, 64, 208, 32))
+
+
+class TestCorrelationFused:
+    """Round-3 channel-major fused fwd+bwd kernels (correlation_fused.py)."""
+
+    def _with_interpret(self):
+        from unsupervised_depth_opticalflow_egomotion_tpu.ops.pallas import (
+            correlation_fused as cf,
+        )
+
+        return cf
+
+    def test_fwd_matches_xla(self):
+        cf = self._with_interpret()
+        rng = np.random.RandomState(0)
+        f1 = jnp.asarray(rng.randn(2, 8, 16, 12).astype(np.float32))
+        f2 = jnp.asarray(rng.randn(2, 8, 16, 12).astype(np.float32))
+        want = np.asarray(correlation(f1, f2, md=4))
+        old = cf._FORCE_INTERPRET
+        cf._FORCE_INTERPRET = True
+        try:
+            got = np.asarray(cf.correlation_fused(f1, f2, 4))
+        finally:
+            cf._FORCE_INTERPRET = old
+        assert got.shape == want.shape
+        np.testing.assert_allclose(got, want, atol=2e-5)
+
+    def test_bwd_matches_xla_grad(self):
+        cf = self._with_interpret()
+        rng = np.random.RandomState(1)
+        f1 = jnp.asarray(rng.randn(1, 10, 14, 7).astype(np.float32))
+        f2 = jnp.asarray(rng.randn(1, 10, 14, 7).astype(np.float32))
+        cot = jnp.asarray(rng.randn(1, 10, 14, 81).astype(np.float32))
+
+        def loss_ref(a, b):
+            return jnp.sum(correlation(a, b, md=4) * cot)
+
+        d1r, d2r = jax.grad(loss_ref, argnums=(0, 1))(f1, f2)
+        old = cf._FORCE_INTERPRET
+        cf._FORCE_INTERPRET = True
+        try:
+            def loss_new(a, b):
+                return jnp.sum(cf.correlation_fused(a, b, 4) * cot)
+
+            d1n, d2n = jax.grad(loss_new, argnums=(0, 1))(f1, f2)
+        finally:
+            cf._FORCE_INTERPRET = old
+        np.testing.assert_allclose(np.asarray(d1n), np.asarray(d1r), atol=1e-4)
+        np.testing.assert_allclose(np.asarray(d2n), np.asarray(d2r), atol=1e-4)
+
+    def test_cpu_fallback_is_xla(self):
+        """Off-TPU without forced interpret, the public entry must equal the
+        XLA formulation exactly (it IS the XLA formulation)."""
+        cf = self._with_interpret()
+        rng = np.random.RandomState(2)
+        f1 = jnp.asarray(rng.randn(1, 6, 9, 5).astype(np.float32))
+        f2 = jnp.asarray(rng.randn(1, 6, 9, 5).astype(np.float32))
+        got = np.asarray(cf.correlation_fused(f1, f2, 4))
+        want = np.asarray(correlation(f1, f2, md=4))
+        np.testing.assert_allclose(got, want, atol=0)

@@ -67,13 +67,25 @@ class Config:
     # larger batch/resolution than the default b8 256x832, which fits without)
     packed_convs: bool = True  # space-to-depth packed small-channel convs
     # (numerically equivalent; 1.7-2.5x faster on TPU -- ops/packed_conv.py)
-    pwc_corr: str = "xla"  # "xla" | "pallas": PWC correlation implementation
-    # (hardware measurements in PERF.md; xla wins on 4/5 level shapes)
+    pwc_corr: str = "fused"  # "xla" | "pallas" | "fused": PWC correlation impl
+    # (hardware measurements in PERF.md; "fused" = round-3 channel-major
+    # Pallas fwd+bwd kernels, ops/pallas/correlation_fused.py)
+    flow_occ_impl: str = "splat"  # flow-mode occlusion: "splat" (live
+    # forward-splat scheme) | "diff_weights" (faithful model_flow.py soft
+    # weights; parity-anchored, known-degenerate -- see joint.py)
     decode_cache_bytes: int = 2 << 30  # host decoded-PNG cache budget (0 = off)
     grad_clip_norm: float = 0.0  # optax global-norm gradient clip (0 = off;
     # the reference has none -- an opt-in stabilizer for from-scratch stages)
     data_axis: str = "data"
     num_devices: int = 0  # 0 = all visible
+    # multi-host (SURVEY 2.7 DCN axis): set num_processes > 1 and launch one
+    # process per host with its process_id; on TPU pods the coordinator is
+    # autodetected (leave coordinator_address empty). Each host feeds its
+    # train.txt shard; batch_size stays GLOBAL and must divide by the
+    # process count.
+    coordinator_address: str = ""
+    num_processes: int = 0  # 0/1 = single-process
+    process_id: int = -1
 
     # loss weights (config_utils.py:3-22, kitti_geom.yaml:20-34)
     w_flow_pixel: float = 0.15

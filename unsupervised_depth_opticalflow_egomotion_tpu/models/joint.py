@@ -69,6 +69,20 @@ def split_stack(images: jax.Array, dtype=None):
     return images[:, :h], images[:, h : 2 * h], images[:, 2 * h :]
 
 
+def split_stack_raw(images: jax.Array):
+    """Raw uint8 frame triplet if the stack is uint8, else None.
+
+    The full-resolution warp gathers can sample raw uint8 rows (half the
+    gather bytes of bf16) and fold the 1/255 normalization into the bilinear
+    weights (ops/warp.py); this keeps the unnormalized frames available next
+    to split_stack's normalized ones.
+    """
+    if images.dtype != jnp.uint8:
+        return None
+    h = images.shape[1] // 3
+    return images[:, :h], images[:, h : 2 * h], images[:, 2 * h :]
+
+
 def _split3(x: jax.Array):
     b = x.shape[0] // 3
     return x[:b], x[b : 2 * b], x[2 * b :]
@@ -93,6 +107,14 @@ class JointModel(nn.Module):
     remat: bool = True
     packed_convs: bool = True
     corr_impl: str = "xla"
+    # Flow-mode occlusion model: "splat" = forward-splat masks (the scheme
+    # the reference defines via transformerFwd but never ships working --
+    # the live default, see the deviation note in forward_flow); or
+    # "diff_weights" = the faithful soft diff-weight scheme of
+    # model_flow.py:105-138 (parity-tested against the reference's
+    # internals in tests/test_parity_flow.py; known-degenerate as a
+    # training objective, kept for measured A/B comparison).
+    flow_occ_impl: str = "splat"
     dtype: Any = jnp.float32
 
     def setup(self):
@@ -133,8 +155,15 @@ class JointModel(nn.Module):
         return self.pose_net(imgs)
 
     # ------------------------------------------------------------- flow mode
-    def forward_flow(self, images, K_ms, K_inv_ms, train: bool = True):
-        del K_ms, K_inv_ms, train
+    def forward_flow(self, images, K_ms, K_inv_ms, rng=None, train: bool = True):
+        # K pyramids are genuinely unused (the flow objective is purely
+        # photometric, model_flow.py:209-261). rng/train are accepted for
+        # signature parity with forward_geom and threaded below so a future
+        # BN/dropout in the flow nets cannot be silently ignored; today the
+        # fpyramid/pwc stacks are conv+LeakyReLU only (asserted by
+        # tests/test_models.py: no batch_stats collection in this path).
+        del K_ms, K_inv_ms, rng, train
+        raw = split_stack_raw(images)
         img_l, img, img_r = split_stack(images, self.dtype)
         hw = (img.shape[1], img.shape[2])
 
@@ -155,12 +184,43 @@ class JointModel(nn.Module):
         img_r_pyr = image_pyramid(img_r, n, mode="area")
 
         bsz = img.shape[0]
-        warped2 = [
-            warp_flow(jnp.concatenate([il, ir], 0), jnp.concatenate([fb, ff], 0), True)
-            for il, ir, fb, ff in zip(img_l_pyr, img_r_pyr, flows_bwd, flows_fwd)
-        ]
+        # scale 0 samples the raw uint8 frames when available (half the
+        # gather row bytes; normalization folded into the bilinear weights)
+        warped2 = []
+        for s, (il, ir, fb, ff) in enumerate(
+            zip(img_l_pyr, img_r_pyr, flows_bwd, flows_fwd)
+        ):
+            src = (
+                jnp.concatenate([raw[0], raw[2]], 0)
+                if s == 0 and raw is not None
+                else jnp.concatenate([il, ir], 0)
+            )
+            warped2.append(
+                warp_flow(src, jnp.concatenate([fb, ff], 0), True, out_dtype=self.dtype)
+            )
         warped_from_l = [x[:bsz] for x in warped2]
         warped_from_r = [x[bsz:] for x in warped2]
+        ns = self.num_scales
+
+        if self.flow_occ_impl == "diff_weights":
+            # Faithful reproduction of the reference flow objective
+            # (model_flow.py:209-261 with survey defects 1-2 patched):
+            # soft diff-weight masks, precomputed-residual pixel loss,
+            # consis masked by (1 - weight_fwd).
+            diff_bwd, diff_fwd, w_bwd, w_fwd = M.diff_weights(
+                warped_from_l, img_pyr, warped_from_r
+            )
+            return {
+                "loss_flow_pixel": L.masked_diff_loss(diff_fwd[:ns], w_fwd[:ns])
+                + L.masked_diff_loss(diff_bwd[:ns], w_bwd[:ns]),
+                "loss_flow_ssim": L.ssim_loss(img_pyr[:ns], warped_from_r[:ns], w_fwd[:ns])
+                + L.ssim_loss(img_pyr[:ns], warped_from_l[:ns], w_bwd[:ns]),
+                "loss_flow_smooth": L.flow_smooth_loss(flows_fwd[:ns], img_pyr[:ns])
+                + L.flow_smooth_loss(flows_bwd[:ns], img_pyr[:ns]),
+                "loss_flow_consis": L.flow_consis_loss(
+                    flows_fwd[:ns], flows_bwd[:ns], w_fwd[:ns]
+                ),
+            }
 
         # DELIBERATE DEVIATION from model_flow.py's soft diff-weights
         # (2*exp(-(w-0.5)^2/0.03), model_flow.py:105-138): that objective was
@@ -195,7 +255,6 @@ class JointModel(nn.Module):
 
         # Losses run over num_scales scales even though 4 flows are predicted
         # (model_flow.py loops range(self.num_scales)).
-        ns = self.num_scales
         loss_pack = {
             "loss_flow_pixel": L.photometric_loss(img_pyr[:ns], warped_from_l[:ns], mask_bwd[:ns])
             + L.photometric_loss(img_pyr[:ns], warped_from_r[:ns], mask_fwd[:ns]),
@@ -267,6 +326,7 @@ class JointModel(nn.Module):
         self, images, K_ms, K_inv_ms, rng=None, train: bool = True, with_masks: bool = False
     ):
         K, K_inv = K_ms[:, 0], K_inv_ms[:, 0]
+        raw = split_stack_raw(images)
         img_l, img, img_r = split_stack(images, self.dtype)
         hw = (img.shape[1], img.shape[2])
 
@@ -322,6 +382,7 @@ class JointModel(nn.Module):
             cat2(img_l, img_r), K2, disp2, disp_lr, pose2, flows2,
             self.flow_consist_alpha, self.flow_consist_beta,
             sample_ref_depth=self.enable_depth_consis,
+            ref_img_u8=cat2(raw[0], raw[2]) if raw is not None else None,
         )
         rec_l, rec_r = zip(*(split2(x) for x in rec2))
         valid_to_l, valid_to_r = zip(*(split2(x) for x in valid_to2))
@@ -334,11 +395,12 @@ class JointModel(nn.Module):
         tex_bwd = M.texture_masks(img_pyr, rec_l, img_l_pyr)
         tex_fwd = M.texture_masks(img_pyr, rec_r, img_r_pyr)
 
-        # Flow reconstruction of the center frame.
-        warped2 = [
-            warp_flow(cat2(il, ir), f2, use_mask=True)
-            for il, ir, f2 in zip(img_l_pyr, img_r_pyr, flows2)
-        ]
+        # Flow reconstruction of the center frame (scale 0 samples raw uint8
+        # rows when available -- half the gather bytes).
+        warped2 = []
+        for s, (il, ir, f2) in enumerate(zip(img_l_pyr, img_r_pyr, flows2)):
+            src = cat2(raw[0], raw[2]) if s == 0 and raw is not None else cat2(il, ir)
+            warped2.append(warp_flow(src, f2, use_mask=True, out_dtype=self.dtype))
         warped_from_l, warped_from_r = zip(*(split2(x) for x in warped2))
         occ_bwd, occ_fwd, valid_bwd, valid_fwd = M.occlusion_weights(
             warped_from_l, img_pyr, warped_from_r

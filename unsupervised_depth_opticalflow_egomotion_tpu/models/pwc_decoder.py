@@ -61,10 +61,12 @@ class ContextNet(nn.Module):
 
 class PWCDecoder(nn.Module):
     md: int = 4
-    # "xla": fused 81-shift formulation (default -- wins on 4/5 level shapes,
-    # scripts/bench_corr.py); "pallas": VMEM-resident kernel where it fits
-    # (ops/pallas/correlation.py), with the XLA-formulation backward.
-    corr_impl: str = "xla"
+    # "fused": channel-major Pallas fwd+bwd kernels, single-tensor [B,H,W,81]
+    #   output (ops/pallas/correlation_fused.py) -- kills the 81-operand
+    #   stack/concat and the 81-plane-copy autodiff backward (round-3 default).
+    # "xla": fused 81-shift XLA formulation with autodiff backward.
+    # "pallas": round-2 NHWC kernel where it fits, XLA-formulation backward.
+    corr_impl: str = "fused"
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -73,7 +75,11 @@ class PWCDecoder(nn.Module):
         assert h % 64 == 0 and w % 64 == 0, (
             f"PWC coarse-to-fine levels need H,W divisible by 64; got {img_hw}"
         )
-        if self.corr_impl == "pallas":
+        if self.corr_impl == "fused":
+            from ..ops.pallas.correlation_fused import correlation_fused
+
+            corr_fn = lambda a, b: correlation_fused(a, b, self.md)  # noqa: E731
+        elif self.corr_impl == "pallas":
             from ..ops.pallas.correlation import correlation_vjp
 
             corr_fn = lambda a, b: correlation_vjp(a, b, self.md)  # noqa: E731

@@ -33,6 +33,7 @@ def multiscale_recon_dynamic(
     alpha: float,
     beta: float,
     sample_ref_depth: bool = False,
+    ref_img_u8=None,
 ):
     """Reconstruction + dynamic-region masks from ONE projection per scale.
 
@@ -45,6 +46,11 @@ def multiscale_recon_dynamic(
     the first four as multiscale_reconstruction, the last three as
     masks.dynamic_masks -- bound = alpha*(|f|^2+|r|^2)+beta, mask =
     |f-r|^2 < bound under stop_gradient, score = 1/(1e-4+|f-r|).
+
+    ``ref_img_u8``: optional raw uint8 copy of the full-res ref_img; the
+    scale-0 reconstruction gathers its rows instead (half the gather bytes;
+    1/255 folded into the bilinear weights, ops/warp.py). Not used when
+    ``sample_ref_depth`` needs a float depth channel in the same gather.
     """
     h0 = ref_img.shape[1]
     recs, valids, pdepths, cdepths = [], [], [], []
@@ -62,6 +68,9 @@ def multiscale_recon_dynamic(
             )
             recs.append(sampled[..., :3])
             pdepths.append(jnp.maximum(sampled[..., 3:], 1e-3))
+        elif h == h0 and ref_img_u8 is not None:
+            recs.append(grid_sample(ref_img_u8, coords, out_dtype=ref_img.dtype))
+            pdepths.append(None)
         else:
             recs.append(grid_sample(ref_scaled, coords))
             pdepths.append(None)

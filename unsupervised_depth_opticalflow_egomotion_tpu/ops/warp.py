@@ -88,7 +88,7 @@ def _tap_weights(i, size):
     return start.astype(jnp.int32), pos_weight(0), pos_weight(1)
 
 
-def grid_sample_with_weight_multi(img: jax.Array, coords_list):
+def grid_sample_with_weight_multi(img: jax.Array, coords_list, out_dtype=None):
     """Bilinear sample SEVERAL coordinate sets from one shared tap table.
 
     Each coords in ``coords_list`` is [B,Ho,Wo,2] (same Ho,Wo across sets);
@@ -108,9 +108,23 @@ def grid_sample_with_weight_multi(img: jax.Array, coords_list):
     multiple coordinate sets (the geom step's depth-reconstruction and
     flow-warp both resample the SAME source pyramid) amortizes the quad
     build and batches the gathers into one.
+
+    uint8 fast path: a uint8 ``img`` (the loader ships images as raw uint8)
+    is gathered as uint8 rows -- half the row bytes of bf16, measured 29 ->
+    23 ms for the full-res b16 image gather (scripts/bench_gather_u8.py) --
+    and the 1/255 normalization is folded into the bilinear weights AFTER
+    the gather (``out_dtype`` selects the result dtype, default bf16). This
+    is exact up to one rounding of the output dtype vs normalize-then-gather
+    and is gradient-equivalent (no gradient flows into integer sources).
     """
     b, h, w, c = img.shape
-    dtype = img.dtype
+    is_u8 = img.dtype == jnp.uint8
+    if is_u8:
+        dtype = jnp.dtype(out_dtype) if out_dtype is not None else jnp.bfloat16
+        scale = 1.0 / 255.0
+    else:
+        dtype = img.dtype if out_dtype is None else jnp.dtype(out_dtype)
+        scale = 1.0
 
     # flatten the batch into the gather's row dimension: one [B*N]-row gather
     # is ~1.8x faster than a batched [B, N] gather on TPU
@@ -143,33 +157,37 @@ def grid_sample_with_weight_multi(img: jax.Array, coords_list):
         xs, wx0, wx1 = _tap_weights(ix, w)
         base = (ys * w + xs).reshape(b, ho * wo).astype(jnp.int32) + batch_off
         taps = quad[base.reshape(b * ho * wo)].reshape(b, ho, wo, 4 * c)
+        if is_u8:
+            taps = taps.astype(dtype)
         wy0 = wy0.astype(dtype)[..., None]
         wy1 = wy1.astype(dtype)[..., None]
         wx0 = wx0.astype(dtype)[..., None]
         wx1 = wx1.astype(dtype)[..., None]
+        s = jnp.asarray(scale, dtype)
         out = (
-            taps[..., 0 * c : 1 * c] * (wy0 * wx0)
-            + taps[..., 1 * c : 2 * c] * (wy0 * wx1)
-            + taps[..., 2 * c : 3 * c] * (wy1 * wx0)
-            + taps[..., 3 * c : 4 * c] * (wy1 * wx1)
+            taps[..., 0 * c : 1 * c] * (wy0 * wx0 * s)
+            + taps[..., 1 * c : 2 * c] * (wy0 * wx1 * s)
+            + taps[..., 2 * c : 3 * c] * (wy1 * wx0 * s)
+            + taps[..., 3 * c : 4 * c] * (wy1 * wx1 * s)
         )
         weight_sum = (wy0 + wy1) * (wx0 + wx1)
         results.append((out, weight_sum))
     return results
 
 
-def grid_sample_with_weight(img: jax.Array, coords: jax.Array):
+def grid_sample_with_weight(img: jax.Array, coords: jax.Array, out_dtype=None):
     """Bilinear sample + total in-bounds weight (single coordinate set)."""
-    return grid_sample_with_weight_multi(img, [coords])[0]
+    return grid_sample_with_weight_multi(img, [coords], out_dtype=out_dtype)[0]
 
 
-def grid_sample(img: jax.Array, coords: jax.Array) -> jax.Array:
+def grid_sample(img: jax.Array, coords: jax.Array, out_dtype=None) -> jax.Array:
     """Bilinear sample ``img`` [B,H,W,C] at normalized ``coords`` [B,Ho,Wo,2].
 
     coords[..., 0] is x in [-1, 1] (align_corners=True), coords[..., 1] is y.
-    Zeros padding outside the image.
+    Zeros padding outside the image. uint8 sources are normalized to [0,1]
+    after the gather (see grid_sample_with_weight_multi).
     """
-    return grid_sample_with_weight(img, coords)[0]
+    return grid_sample_with_weight(img, coords, out_dtype=out_dtype)[0]
 
 
 def flow_coords(flow: jax.Array) -> jax.Array:
@@ -183,15 +201,18 @@ def flow_coords(flow: jax.Array) -> jax.Array:
     return normalize_coords(grid + flow.astype(jnp.float32), h, w)
 
 
-def warp_flow(x: jax.Array, flow: jax.Array, use_mask: bool = False) -> jax.Array:
+def warp_flow(
+    x: jax.Array, flow: jax.Array, use_mask: bool = False, out_dtype=None
+) -> jax.Array:
     """Backward-warp ``x`` [B,H,W,C] by optical flow [B,H,W,2].
 
     With ``use_mask`` the result is multiplied by a hard validity mask
     (warped ones thresholded at 0.9999 -- net_utils.py:47-52), computed
-    analytically from the sampling weights.
+    analytically from the sampling weights. A uint8 ``x`` takes the
+    gather-then-normalize fast path (result in ``out_dtype``, default bf16).
     """
-    out, weight = grid_sample_with_weight(x, flow_coords(flow))
+    out, weight = grid_sample_with_weight(x, flow_coords(flow), out_dtype=out_dtype)
     if use_mask:
-        mask = jnp.where(weight < 0.9999, 0.0, 1.0).astype(x.dtype)
+        mask = jnp.where(weight < 0.9999, 0.0, 1.0).astype(out.dtype)
         return out * mask
     return out

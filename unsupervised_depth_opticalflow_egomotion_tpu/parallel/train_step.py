@@ -56,6 +56,7 @@ def build_model(cfg: Config) -> JointModel:
         remat=cfg.remat,
         packed_convs=cfg.packed_convs,
         corr_impl=cfg.pwc_corr,
+        flow_occ_impl=cfg.flow_occ_impl,
         dtype=dtype,
     )
 
@@ -123,13 +124,47 @@ def init_state(cfg: Config, rng: jax.Array) -> tuple[JointModel, TrainState]:
     return model, state
 
 
+def _merge_stats(old, new):
+    """Overlay mutated batch_stats onto the full state collection.
+
+    A mode that exercises only a subset of the networks (flow mode calls no
+    BN module today) gets back a partial/empty mutated collection from flax;
+    returning it verbatim would wipe the other networks' BN statistics out of
+    the train state (and break checkpoint tree structure). Unvisited subtrees
+    keep their old values.
+    """
+    if not new:
+        return old
+    merged = {k: v for k, v in old.items()}
+    for k, v in new.items():
+        if k in merged and hasattr(v, "items") and hasattr(merged[k], "items"):
+            merged[k] = _merge_stats(merged[k], v)
+        else:
+            merged[k] = v
+    return FrozenDict(merged) if isinstance(old, FrozenDict) else merged
+
+
 def _forward(model: JointModel, cfg: Config, variables, batch, rng, train: bool):
     images, K_ms, K_inv_ms = batch
     if cfg.mode == "flow":
-        loss_pack = model.apply(
-            variables, images, K_ms, K_inv_ms, method=model.forward_flow
+        # mutable batch_stats mirrors the depth/geom branches: the flow nets
+        # are BN-free today, but if BN ever lands there its statistics must
+        # update rather than silently freeze (round-2 review finding)
+        out = model.apply(
+            variables,
+            images,
+            K_ms,
+            K_inv_ms,
+            rng=rng,
+            train=train,
+            method=model.forward_flow,
+            mutable=["batch_stats"] if train else False,
         )
-        return loss_pack, variables.get("batch_stats", FrozenDict())
+        old_stats = variables.get("batch_stats", FrozenDict())
+        if train:
+            loss_pack, updates = out
+            return loss_pack, _merge_stats(old_stats, updates.get("batch_stats", {}))
+        return out, old_stats
     if cfg.mode == "depth":
         out = model.apply(
             variables,
