@@ -87,27 +87,11 @@ class _Mapper:
         )
 
 
-def port_model_geometry(state_dict: Mapping, num_scales: int = 3) -> dict:
-    """Reference Model_geometry state_dict -> {'params': ..., 'batch_stats': ...}.
-
-    Covers all four sub-networks. Raises KeyError on missing entries so a
-    partial/mismatched checkpoint fails loudly.
-    """
-    m = _Mapper(state_dict)
-
+def _port_flow_nets(m: "_Mapper") -> None:
+    """fpyramid + PWC decoder mappings (shared by Model_geometry/Model_flow)."""
     # ---------------- feature pyramid (feature_pyramid.py:10-21) ----------
     for i in range(12):
         m.conv(f"fpyramid.conv{i + 1}.0", f"fpyramid/ConvLReLU_{i}/Conv_0")
-
-    # ---------------- pose net (pose_cnn.py:20-49) -------------------------
-    for i in range(7):
-        m.conv(f"pose_net.net.{i}", f"pose_net/Conv_{i}/Conv_0")
-    m.conv("pose_net.pose_conv", "pose_net/Conv_7/Conv_0")
-    for i in range(4):
-        m.conv(f"pose_net.refine_net.{i}", f"pose_net/Conv_{8 + i}/Conv_0")
-    m.conv("pose_net.refine_pose_conv", "pose_net/Conv_12/Conv_0")
-    for name in ("query_fc", "key_fc", "value_fc"):
-        m.linear(f"pose_net.{name}", f"pose_net/{name}")
 
     # ---------------- PWC decoder (pwc_tf.py:26-88) ------------------------
     # torch level order conv6..conv2 == flax DenseFlowBlock_0..4
@@ -121,6 +105,42 @@ def port_model_geometry(state_dict: Mapping, num_scales: int = 3) -> dict:
     for j in range(6):
         m.conv(f"pwc_model.dc_conv{j + 1}.0", f"pwc/ContextNet_0/ConvLReLU_{j}/Conv_0")
     m.conv("pwc_model.dc_conv7", "pwc/ContextNet_0/Conv_0/Conv_0")
+
+
+def port_model_flow(state_dict: Mapping) -> dict:
+    """Reference Model_flow state_dict -> {'params': ...} (fpyramid + PWC).
+
+    The flow-only model has no BN anywhere, so batch_stats is empty.
+    """
+    m = _Mapper(state_dict)
+    _port_flow_nets(m)
+    unused = {
+        k for k in m.sd if k not in m.used and not k.endswith("num_batches_tracked")
+    }
+    if unused:
+        raise ValueError(f"unmapped reference parameters: {sorted(unused)[:8]}...")
+    return {"params": m.params, "batch_stats": m.stats}
+
+
+def port_model_geometry(state_dict: Mapping, num_scales: int = 3) -> dict:
+    """Reference Model_geometry state_dict -> {'params': ..., 'batch_stats': ...}.
+
+    Covers all four sub-networks. Raises KeyError on missing entries so a
+    partial/mismatched checkpoint fails loudly.
+    """
+    m = _Mapper(state_dict)
+
+    _port_flow_nets(m)
+
+    # ---------------- pose net (pose_cnn.py:20-49) -------------------------
+    for i in range(7):
+        m.conv(f"pose_net.net.{i}", f"pose_net/Conv_{i}/Conv_0")
+    m.conv("pose_net.pose_conv", "pose_net/Conv_7/Conv_0")
+    for i in range(4):
+        m.conv(f"pose_net.refine_net.{i}", f"pose_net/Conv_{8 + i}/Conv_0")
+    m.conv("pose_net.refine_pose_conv", "pose_net/Conv_12/Conv_0")
+    for name in ("query_fc", "key_fc", "value_fc"):
+        m.linear(f"pose_net.{name}", f"pose_net/{name}")
 
     # ---------------- depth encoder (torchvision resnet18 naming) ----------
     enc = "depth_net.encoder.encoder"
