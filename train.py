@@ -30,11 +30,13 @@ from unsupervised_depth_opticalflow_egomotion_tpu.evaluation import (
     load_gt_mask,
 )
 from unsupervised_depth_opticalflow_egomotion_tpu.parallel import (
+    distributed_init,
     init_state,
+    local_replica,
+    make_global_batch,
     make_mesh,
     make_optimizer,
     make_train_step,
-    shard_batch,
 )
 from unsupervised_depth_opticalflow_egomotion_tpu.utils import (
     CheckpointManager,
@@ -117,8 +119,20 @@ def run_interleaved_eval(cfg: Config, infer_fns, variables, logger, step, eval_c
 
 
 def train(cfg: Config):
+    # multi-host: join the coordination service BEFORE any jax device use
+    # (SURVEY 2.7 DCN axis; no reference equivalent -- DataParallel is
+    # single-process, /root/reference/train.py:59-60)
+    distributed_init(cfg.coordinator_address, cfg.num_processes, cfg.process_id)
+    is_main = jax.process_index() == 0
     mesh = make_mesh(cfg.num_devices, cfg.data_axis)
-    print(f"devices: {mesh.devices.tolist()}")
+    if is_main:
+        print(f"devices: {mesh.devices.tolist()}")
+    if cfg.batch_size % jax.process_count():
+        raise ValueError(
+            f"global batch {cfg.batch_size} must divide process count "
+            f"{jax.process_count()}"
+        )
+    local_bsz = cfg.batch_size // jax.process_count()
 
     model, state = init_state(cfg, jax.random.PRNGKey(cfg.seed))
 
@@ -146,15 +160,18 @@ def train(cfg: Config):
         data_dir,
         num_scales=cfg.num_scales,
         img_hw=cfg.img_hw,
-        num_iterations=(cfg.num_iterations - start_step) * cfg.batch_size,
+        num_iterations=(cfg.num_iterations - start_step) * local_bsz,
         seed=cfg.seed,
         # uint8 to the device (4x smaller transfer; normalized on-device in
         # split_stack), bounded decode cache against re-reading hot PNGs
         cache_decoded_bytes=cfg.decode_cache_bytes,
         uint8_images=True,
+        # multi-host: each process owns a stride of train.txt
+        shard_id=jax.process_index(),
+        num_shards=jax.process_count(),
     )
     loader = BatchLoader(
-        dataset, cfg.batch_size, shuffle=True, num_workers=cfg.num_workers, seed=cfg.seed
+        dataset, local_bsz, shuffle=True, num_workers=cfg.num_workers, seed=cfg.seed
     )
 
     eval_ctx = {}
@@ -194,24 +211,39 @@ def train(cfg: Config):
     for batch_np in loader:
         if step >= cfg.num_iterations:
             break
-        if cfg.test_interval and step % cfg.test_interval == 0 and step > start_step:
-            variables = {"params": state.params, "batch_stats": state.batch_stats}
+        if (
+            cfg.test_interval
+            and step % cfg.test_interval == 0
+            and step > start_step
+            and is_main
+        ):
+            # multi-host: only the main process evals, against its local
+            # replica (every host holds full params); the others keep
+            # training data flowing
+            variables = local_replica(
+                {"params": state.params, "batch_stats": state.batch_stats}
+            )
             run_interleaved_eval(cfg, infer_fns, variables, logger, step, eval_ctx)
 
-        batch = shard_batch(tuple(batch_np), mesh)
+        batch = make_global_batch(tuple(batch_np), mesh, cfg.data_axis)
         rng, sub = jax.random.split(rng)
         state, metrics = step_fn(state, batch, sub)
         step += 1
 
-        if step % cfg.log_interval == 0:
+        if step % cfg.log_interval == 0 and is_main:
             scalars = {k: float(v) for k, v in metrics.items()}
             logger.add_scalars(step, scalars)
             logger.print_losses(step, cfg.num_iterations, scalars)
-        if mask_fn is not None and step % (10 * cfg.log_interval) == 0:
+        if mask_fn is not None and step % (10 * cfg.log_interval) == 0 and is_main:
             from unsupervised_depth_opticalflow_egomotion_tpu.visualize import dump_mask_pack
 
-            variables = {"params": state.params, "batch_stats": state.batch_stats}
-            aux = jax.device_get(mask_fn(variables, *batch))
+            # LOCAL eval-model forward on the main process (numpy replica in,
+            # local batch in) -- no cross-process collectives, so the other
+            # hosts never need to participate
+            variables = local_replica(
+                {"params": state.params, "batch_stats": state.batch_stats}
+            )
+            aux = jax.device_get(mask_fn(variables, *tuple(batch_np)))
             h = batch_np[0].shape[1] // 3
             center = batch_np[0][0, h : 2 * h]
             if center.dtype == np.uint8:
@@ -219,11 +251,15 @@ def train(cfg: Config):
             dump_mask_pack(
                 aux, center, os.path.join(cfg.model_dir, "images"), step, logger,
             )
-        if cfg.save_interval and step % cfg.save_interval == 0:
-            ckpt.save(step, jax.device_get(state))
+        if cfg.save_interval and step % cfg.save_interval == 0 and is_main:
+            # state is device_get to host numpy first, so the save is a
+            # plain single-writer file write (every process holds the same
+            # replica; only main writes)
+            ckpt.save(step, local_replica(state))
             logger.dump()
 
-    ckpt.save(step, jax.device_get(state))
+    if is_main:
+        ckpt.save(step, local_replica(state))
     logger.close()
     print("training done")
 
@@ -246,6 +282,11 @@ def main():
     parser.add_argument("--fix_pose", action="store_true", default=None)
     parser.add_argument("--num_devices", type=int, default=None)
     parser.add_argument("--compute_dtype", default=None)
+    # multi-host launch (one process per host; TPU pods autodetect the
+    # coordinator when --coordinator_address is omitted)
+    parser.add_argument("--coordinator_address", default=None)
+    parser.add_argument("--num_processes", type=int, default=None)
+    parser.add_argument("--process_id", type=int, default=None)
     args = parser.parse_args()
 
     overrides = {k: v for k, v in vars(args).items() if k != "config_file"}

@@ -69,14 +69,26 @@ class KittiPreparedDataset:
         seed: int = 0,
         cache_decoded_bytes: int = 0,
         uint8_images: bool = False,
+        shard_id: int = 0,
+        num_shards: int = 1,
     ):
+        """``shard_id``/``num_shards``: multi-host data parallelism -- each
+        process owns the [shard_id::num_shards] stride of train.txt (and a
+        shard-distinct resampling seed), so hosts never read each other's
+        files. Single-host runs keep the identity shard."""
         self.uint8_images = uint8_images
         self.data_dir = data_dir
         self.num_scales = num_scales
         self.img_hw = tuple(img_hw)
         self.num_iterations = num_iterations
-        self.seed = seed
+        self.seed = seed + 1000003 * shard_id
         self.data_list = self._read_index(os.path.join(data_dir, "train.txt"))
+        if num_shards > 1:
+            self.data_list = self.data_list[shard_id::num_shards]
+            if not self.data_list:
+                raise ValueError(
+                    f"shard {shard_id}/{num_shards} of {data_dir} is empty"
+                )
         # optional decoded-PNG cache: on a weak host the cv2.imread of the
         # stacked PNG dominates step time (measured 4.4 fps vs 29 fps device
         # rate on a 1-core host); caching the decode (NOT the augmentation --
