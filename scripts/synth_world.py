@@ -58,9 +58,17 @@ def _euler_to_R(rx, ry, rz):
 
 
 class Plane:
-    """Textured world plane: points X with n . X = d (camera-0 frame)."""
+    """Textured world plane: points X with n . X = d (camera-0 frame).
 
-    def __init__(self, normal, dist, tex, tex_origin, tex_axes, tex_scale):
+    ``vel`` (world units / frame step) makes the plane an independently
+    moving object: at frame k its material points sit at X0 + k*vel. Exact
+    GT flow for moving planes follows the material point, not the camera
+    (see exact_flow); the dynamic-region masks and epipolar terms the geom
+    objective carries exist precisely for such pixels
+    (model_geometry.py:685-713).
+    """
+
+    def __init__(self, normal, dist, tex, tex_origin, tex_axes, tex_scale, vel=None):
         self.n = np.asarray(normal, np.float64)
         self.n /= np.linalg.norm(self.n)
         self.d = float(dist)
@@ -69,13 +77,28 @@ class Plane:
         self.axes = np.asarray(tex_axes, np.float64)  # [2,3] world dirs of tex u,v
         self.scale = float(tex_scale)  # world units per texel
         self.bounds = (tex.shape[1], tex.shape[0])  # (u_max, v_max) texels
+        self.vel = np.zeros(3) if vel is None else np.asarray(vel, np.float64)
+
+    def at_frame(self, k):
+        """Plane with its origin advanced k motion steps (n.X = d shifts by
+        n . k*vel)."""
+        if k == 0 or not self.vel.any():
+            return self
+        shift = k * self.vel
+        return Plane(
+            self.n, self.d + float(self.n @ shift), self.tex,
+            self.origin + shift, self.axes, self.scale, self.vel,
+        )
 
 
-def render(planes, K, R, t, hw):
+def render(planes, K, R, t, hw, frame_k=0, want_hits=False):
     """Render the camera (R, t: world->cam, X_cam = R X + t) over planes.
 
-    Returns (img [H,W,3], depth [H,W]) with z-buffer compositing; pixels
-    hitting no plane get depth=inf and black.
+    ``frame_k`` advances each plane by k of its own motion steps (static
+    planes are unaffected). Returns (img [H,W,3], depth [H,W]) with z-buffer
+    compositing; pixels hitting no plane get depth=inf and black. With
+    ``want_hits`` also returns (pid [H,W] int32 plane index or -1,
+    X [H,W,3] world hit points) for exact-GT flow of moving objects.
     """
     h, w = hw
     Kinv = np.linalg.inv(K)
@@ -87,7 +110,10 @@ def render(planes, K, R, t, hw):
 
     img = np.zeros((h * w, 3), np.float32)
     zbuf = np.full(h * w, np.inf, np.float64)
-    for p in planes:
+    pid = np.full(h * w, -1, np.int32)
+    Xhit = np.zeros((h * w, 3), np.float64)
+    for idx, p0 in enumerate(planes):
+        p = p0.at_frame(frame_k)
         denom = dirs @ p.n
         lam = (p.d - C @ p.n) / np.where(np.abs(denom) < 1e-9, 1e-9, denom)
         X = C[None] + lam[:, None] * dirs  # world hit points
@@ -113,11 +139,26 @@ def render(planes, K, R, t, hw):
         t11 = p.tex[vi + 1, ui + 1]
         img[ok] = (1 - fv) * ((1 - fu) * t00 + fu * t01) + fv * ((1 - fu) * t10 + fu * t11)
         zbuf[ok] = z_cam[ok]
+        pid[ok] = idx
+        Xhit[ok] = X[ok]
+    if want_hits:
+        return (
+            img.reshape(h, w, 3),
+            zbuf.reshape(h, w),
+            pid.reshape(h, w),
+            Xhit.reshape(h, w, 3),
+        )
     return img.reshape(h, w, 3), zbuf.reshape(h, w)
 
 
-def make_scene(rng, hw):
-    """Random scene: ground plane + 2-3 floating fronto-ish billboards."""
+def make_scene(rng, hw, n_movers=0):
+    """Random scene: ground plane + 2-3 floating fronto-ish billboards.
+
+    ``n_movers`` of the billboards get an independent world velocity
+    (KITTI-like: dominant lateral/longitudinal object motion) -- their
+    pixels violate the rigid-scene assumption exactly the way real traffic
+    does, exercising the dynamic-region masks and the epipolar terms.
+    """
     h, w = hw
     planes = []
     # ground: normal ~(0,-1,0), camera 1.6m above
@@ -146,12 +187,24 @@ def make_scene(rng, hw):
         )
     )
     # floating billboards (create parallax + occlusion boundaries)
-    for _ in range(rng.randint(2, 4)):
+    n_boards = rng.randint(2, 4)
+    movers = set(rng.choice(n_boards, size=min(n_movers, n_boards), replace=False))
+    for bi in range(n_boards):
         z0 = 8.0 + 25.0 * rng.rand()
         x0 = (rng.rand() - 0.5) * 0.8 * z0
         y0 = -2.5 * rng.rand()
         size = 2.0 + 4.0 * rng.rand()
         tex = _smooth_texture(rng, 256, 256)
+        vel = None
+        if bi in movers:
+            # car-like: mostly lateral or longitudinal, 0.15-0.7 m/frame
+            vel = np.array(
+                [
+                    (0.15 + 0.55 * rng.rand()) * (1 if rng.rand() < 0.5 else -1),
+                    0.0,
+                    0.5 * rng.randn(),
+                ]
+            )
         planes.append(
             Plane(
                 normal=[0.0, 0.0, -1.0],
@@ -160,6 +213,7 @@ def make_scene(rng, hw):
                 tex_origin=[x0, y0, z0],
                 tex_axes=[[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]],
                 tex_scale=size / 256,
+                vel=vel,
             )
         )
     return planes
@@ -192,6 +246,40 @@ def relative_pose(Ra, ta, Rb, tb):
     return R, t
 
 
+def exact_flow_and_occ(planes, K, R_to, t_to, pid, Xhit, depth_to, dk):
+    """Exact GT flow center->target following MATERIAL points, plus masks.
+
+    For a center-frame pixel hitting plane p at world point X, the same
+    material point dk frames later is X + dk*vel_p; its target-frame pixel is
+    K(R_to (X + dk vel) + t_to). Returns (flow [H,W,2], occ [H,W] bool
+    visible-in-target, dyn [H,W] bool moving-object pixel).
+
+    Occlusion: the projected point's target-camera depth is compared with
+    the target view's rendered z-buffer at the landing pixel (nearest
+    sample, 0.25 m + 2% relative tolerance); a nearer surface there means
+    the point is occluded.
+    """
+    h, w = pid.shape
+    xs, ys = np.meshgrid(np.arange(w), np.arange(h))
+    vel = np.stack([p.vel for p in planes])  # [P,3]
+    hit = pid >= 0
+    Xm = Xhit + dk * vel[np.clip(pid, 0, None)] * hit[..., None]
+    Xc = Xm @ R_to.T + t_to
+    z = np.maximum(Xc[..., 2], 1e-6)
+    pb = Xc @ K.T
+    px = pb[..., 0] / z
+    py = pb[..., 1] / z
+    flow = np.stack([px - xs, py - ys], -1).astype(np.float32)
+
+    xi = np.clip(np.round(px).astype(np.int64), 0, w - 1)
+    yi = np.clip(np.round(py).astype(np.int64), 0, h - 1)
+    z_seen = depth_to[yi, xi]
+    visible = hit & np.isfinite(z_seen) & (z < z_seen + 0.25 + 0.02 * z)
+    inb = (px >= 0) & (px < w - 1) & (py >= 0) & (py < h - 1)
+    dyn = hit & (np.abs(vel[np.clip(pid, 0, None)]).sum(-1) > 0)
+    return flow, visible & inb, dyn
+
+
 def rigid_flow_from_depth(depth, K, R, t):
     """Exact flow of the camera-a image under (R,t) to camera-b, [H,W,2]."""
     h, w = depth.shape
@@ -205,8 +293,13 @@ def rigid_flow_from_depth(depth, K, R, t):
     return flow.reshape(h, w, 2).astype(np.float32)
 
 
-def generate(out_dir, n_train=240, n_eval=8, hw=(256, 832), seed=0):
-    """Write a prepared-format dataset + eval GT npz files."""
+def generate(out_dir, n_train=240, n_eval=8, hw=(256, 832), seed=0, n_movers=0):
+    """Write a prepared-format dataset + eval GT npz files.
+
+    ``n_movers`` > 0 adds that many independently-moving billboards per
+    scene (exact GT follows the material points; eval npz gains
+    ``dyn_mask``/``noc_mask``).
+    """
     import cv2
 
     h, w = hw
@@ -224,17 +317,24 @@ def generate(out_dir, n_train=240, n_eval=8, hw=(256, 832), seed=0):
     rng = np.random.RandomState(seed)
     lines = []
     for i in range(n_train + n_eval):
-        planes = make_scene(rng, hw)
+        planes = make_scene(rng, hw, n_movers=n_movers)
         r_step, t_step = make_motion(rng)
+        is_eval = i >= n_train
         frames, depths, mats = [], [], []
+        hits = None
         for k in range(3):
             R, t = pose_mats(r_step, t_step, k)
-            img, depth = render(planes, K, R, t, hw)
+            if is_eval and k == 1:
+                img, depth, pid, Xhit = render(
+                    planes, K, R, t, hw, frame_k=k, want_hits=True
+                )
+                hits = (pid, Xhit)
+            else:
+                img, depth = render(planes, K, R, t, hw, frame_k=k)
             frames.append(img)
             depths.append(depth)
             mats.append((R, t))
         stack = (np.concatenate(frames, axis=0) * 255).astype(np.uint8)
-        is_eval = i >= n_train
         if not is_eval:
             name = f"scenes/{i:06d}.png"
             cv2.imwrite(os.path.join(out_dir, name), stack[..., ::-1])
@@ -250,6 +350,13 @@ def generate(out_dir, n_train=240, n_eval=8, hw=(256, 832), seed=0):
             d_c = depths[1]
             finite = np.isfinite(d_c)
             d_c = np.where(finite, d_c, 1e3)
+            pid, Xhit = hits
+            flow_fwd, noc_fwd, dyn = exact_flow_and_occ(
+                planes, K, Rr, tr, pid, Xhit, depths[2], dk=1
+            )
+            flow_bwd, noc_bwd, _ = exact_flow_and_occ(
+                planes, K, Rl, tl, pid, Xhit, depths[0], dk=-1
+            )
             np.savez_compressed(
                 os.path.join(eval_dir, f"{j:03d}.npz"),
                 img_l=(frames[0] * 255).astype(np.uint8),
@@ -257,8 +364,10 @@ def generate(out_dir, n_train=240, n_eval=8, hw=(256, 832), seed=0):
                 img_r=(frames[2] * 255).astype(np.uint8),
                 depth=d_c.astype(np.float32),
                 valid=finite,
-                flow_fwd=rigid_flow_from_depth(d_c, K, R_fwd, t_fwd),
-                flow_bwd=rigid_flow_from_depth(d_c, K, R_bwd, t_bwd),
+                flow_fwd=flow_fwd,
+                flow_bwd=flow_bwd,
+                noc_mask=noc_fwd,
+                dyn_mask=dyn,
                 R_fwd=R_fwd,
                 t_fwd=t_fwd,
                 K=K,
@@ -277,5 +386,7 @@ if __name__ == "__main__":
     ap.add_argument("--n_eval", type=int, default=8)
     ap.add_argument("--hw", type=int, nargs=2, default=[256, 832])
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--n_movers", type=int, default=0,
+                    help="independently-moving billboards per scene")
     a = ap.parse_args()
-    generate(a.out, a.n_train, a.n_eval, tuple(a.hw), a.seed)
+    generate(a.out, a.n_train, a.n_eval, tuple(a.hw), a.seed, a.n_movers)

@@ -62,8 +62,12 @@ def load_eval_set(data_dir):
 
 
 def synth_eval(eval_set, flow_fn, disp_fn, do_flow=True, do_depth=True):
-    """Flow EPE + depth metrics against the generator's exact GT."""
-    epes, absrel, a1 = [], [], []
+    """Flow EPE + depth metrics against the generator's exact GT.
+
+    Worlds generated with --n_movers carry noc_mask (visible in the target
+    view) and dyn_mask (independently-moving pixels); those add epe_noc and
+    epe_dyn -- the KITTI-style noc/occ + moving-region breakdown."""
+    epes, epes_noc, epes_dyn, absrel, a1 = [], [], [], [], []
     for s in eval_set:
         img_c = s["img_c"].astype(np.float32) / 255.0
         img_r = s["img_r"].astype(np.float32) / 255.0
@@ -79,7 +83,16 @@ def synth_eval(eval_set, flow_fn, disp_fn, do_flow=True, do_depth=True):
                 & (ys + gt[..., 1] < h - 1)
                 & s["valid"]
             )
-            epes.append(float(np.linalg.norm(flow - gt, axis=-1)[inb].mean()))
+            err = np.linalg.norm(flow - gt, axis=-1)
+            epes.append(float(err[inb].mean()))
+            if "noc_mask" in s:
+                m = inb & s["noc_mask"]
+                if m.any():
+                    epes_noc.append(float(err[m].mean()))
+            if "dyn_mask" in s and s["dyn_mask"].any():
+                m = inb & s["dyn_mask"]
+                if m.any():
+                    epes_dyn.append(float(err[m].mean()))
 
         if do_depth:
             sigma = np.asarray(disp_fn(img_c[None]))[0, ..., 0]
@@ -98,6 +111,10 @@ def synth_eval(eval_set, flow_fn, disp_fn, do_flow=True, do_depth=True):
     out = {}
     if epes:
         out["flow_epe"] = float(np.mean(epes))
+    if epes_noc:
+        out["flow_epe_noc"] = float(np.mean(epes_noc))
+    if epes_dyn:
+        out["flow_epe_dyn"] = float(np.mean(epes_dyn))
     if absrel:
         out["depth_absrel"] = float(np.mean(absrel))
         out["depth_a1"] = float(np.mean(a1))
@@ -125,6 +142,11 @@ def main():
     ap.add_argument("--mode", default="geom", choices=["flow", "depth", "geom"])
     ap.add_argument("--graft_flow", default="", help="flow-stage ckpt dir")
     ap.add_argument("--graft_depth", default="", help="depth-stage ckpt dir")
+    ap.add_argument("--n_movers", type=int, default=0,
+                    help="moving billboards per scene when auto-generating")
+    ap.add_argument("--enable_losses", default="",
+                    help="comma list from {triangle,pnp,eight_point,"
+                         "depth_ssim,depth_consis} to switch on")
     args = ap.parse_args()
 
     if not os.path.exists(os.path.join(args.data, "train.txt")):
@@ -133,7 +155,8 @@ def main():
         sys.path.insert(0, os.path.dirname(__file__))
         from synth_world import generate
 
-        generate(args.data, n_train=240, n_eval=8, hw=tuple(args.hw))
+        generate(args.data, n_train=240, n_eval=8, hw=tuple(args.hw),
+                 n_movers=args.n_movers)
 
     os.makedirs(args.out, exist_ok=True)
     h, w = args.hw
@@ -149,6 +172,11 @@ def main():
         fix_pose=args.fix_pose,
         num_iterations=args.steps,
         model_dir=args.out,
+        **{
+            f"enable_{k.strip()}": True
+            for k in args.enable_losses.split(",")
+            if k.strip()
+        },
     )
     model, state = init_state(cfg, jax.random.PRNGKey(0))
     # staged hand-off: take the flow nets from the flow-stage checkpoint and
