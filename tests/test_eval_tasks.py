@@ -289,3 +289,18 @@ def test_debug_drawing(tmp_path):
     save_debug_pair(str(tmp_path), "dbg", canvas)
     import os as _os
     assert _os.path.isfile(_os.path.join(tmp_path, "dbg.png"))
+
+
+def test_plot_two_rays(tmp_path):
+    """3-D ray plot (visualizer.py:197-226): intersecting rays of a true
+    correspondence have dot < 1 and the PNG is written."""
+    from unsupervised_depth_opticalflow_egomotion_tpu.visualize import plot_two_rays
+
+    K = np.array([[100.0, 0, 64], [0, 100, 32], [0, 0, 1]])
+    P1 = K @ np.hstack([np.eye(3), np.zeros((3, 1))])
+    P2 = K @ np.hstack([np.eye(3), np.array([[0.5], [0.0], [0.0]])])
+    # world point (1, 0, 10): cam1 pixel (74, 32); cam2 sees (1.5,0,10) -> (79, 32)
+    out = str(tmp_path / "rays.png")
+    dot = plot_two_rays((74, 32, 79, 32), P1, P2, out_path=out)
+    assert 0.9 < dot < 1.0  # near-parallel but converging rays
+    assert os.path.isfile(out)

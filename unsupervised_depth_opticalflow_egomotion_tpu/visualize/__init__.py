@@ -1,9 +1,15 @@
-from .debug import draw_correspondences, draw_epipolar_lines, save_debug_pair
+from .debug import (
+    draw_correspondences,
+    draw_epipolar_lines,
+    plot_two_rays,
+    save_debug_pair,
+)
 from .visualizer import Visualizer, dump_mask_pack, save_disp_color_img
 
 __all__ = [
     "draw_correspondences",
     "draw_epipolar_lines",
+    "plot_two_rays",
     "save_debug_pair",
     "Visualizer",
     "save_disp_color_img",

@@ -66,3 +66,62 @@ def draw_epipolar_lines(img1, img2, F, points1, num: int = 20, seed: int = 0):
 def save_debug_pair(dump_dir, name, canvas):
     os.makedirs(dump_dir, exist_ok=True)
     cv2.imwrite(os.path.join(dump_dir, f"{name}.png"), canvas)
+
+
+def _camera_ray(K, RT, point2d, length: float = 100.0, n: int = 1000):
+    """World-frame points along the back-projected ray of a pixel.
+
+    RT = [R|t] (world->cam); the ray leaves the camera center C = -R^T t in
+    direction R^T K^-1 [x, y, 1] (visualizer.py:197-208). Returns
+    ([n,3] points, [3] unit direction).
+    """
+    K_inv = np.linalg.inv(np.asarray(K, np.float64))
+    RT = np.asarray(RT, np.float64)
+    R, t = RT[:, :3], RT[:, 3]
+    d = R.T @ (K_inv @ np.array([point2d[0], point2d[1], 1.0]))
+    d = d / (np.linalg.norm(d) + 1e-12)
+    origin = -R.T @ t
+    ts = np.linspace(0.0, length, n)
+    return origin[None] + ts[:, None] * d[None], d
+
+
+def plot_two_rays(match, P1, P2, out_path=None, ax=None):
+    """3-D plot of the two back-projected rays of a correspondence.
+
+    ``match`` = (x1, y1, x2, y2); P1/P2 are 3x4 projection matrices sharing
+    K (P1 = K[I|0]). The triangulation sanity-check of the reference's
+    ``visualize_two_rays`` (visualizer.py:197-226): near-parallel rays (dot
+    ~ 1) mean an ill-conditioned midpoint triangulation. Returns the ray
+    dot product; writes a PNG when ``out_path`` is given (requires
+    matplotlib, headless Agg).
+    """
+    P1 = np.asarray(P1, np.float64)
+    P2 = np.asarray(P2, np.float64)
+    K = P1[:, :3]  # P1 has identity rotation and zero translation
+    K_inv = np.linalg.inv(K)
+    RT1, RT2 = K_inv @ P1, K_inv @ P2
+    x1, y1, x2, y2 = match
+    pts1, d1 = _camera_ray(K, RT1, (x1, y1))
+    pts2, d2 = _camera_ray(K, RT2, (x2, y2))
+    dot = float(np.dot(d1, d2))
+
+    if out_path is not None or ax is not None:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        fig = None
+        if ax is None:
+            fig = plt.figure()
+            ax = fig.add_subplot(projection="3d")
+        ax.plot3D(pts1[:, 0], pts1[:, 1], pts1[:, 2], c="g")
+        ax.plot3D(pts2[:, 0], pts2[:, 1], pts2[:, 2], c="r")
+        ax.scatter(*pts1[0], c="r")
+        ax.scatter(*pts2[0], c="r")
+        ax.set_title(f"ray dot = {dot:.6f}")
+        if out_path is not None and fig is not None:
+            os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
+            fig.savefig(out_path)
+            plt.close(fig)
+    return dot
