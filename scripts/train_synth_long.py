@@ -144,6 +144,16 @@ def main():
     ap.add_argument("--graft_depth", default="", help="depth-stage ckpt dir")
     ap.add_argument("--n_movers", type=int, default=0,
                     help="moving billboards per scene when auto-generating")
+    ap.add_argument("--resume", action="store_true",
+                    help="restore the latest <out>/ckpt and continue")
+    ap.add_argument("--max_steps_per_proc", type=int, default=0,
+                    help="exit cleanly after this many steps (0 = no cap). "
+                         "The axon device relay leaks ~15-20 MB of host "
+                         "memory per h2d batch transfer (measured: 100 "
+                         "transfers of a 15 MB uint8 batch retain ~1.5 GB), "
+                         "so multi-hour runs recycle the process every few "
+                         "thousand steps via --resume; scripts/run_stage.sh "
+                         "wraps the loop")
     ap.add_argument("--enable_losses", default="",
                     help="comma list from {triangle,pnp,eight_point,"
                          "depth_ssim,depth_consis} to switch on")
@@ -179,6 +189,12 @@ def main():
         },
     )
     model, state = init_state(cfg, jax.random.PRNGKey(0))
+    ckpt = CheckpointManager(os.path.join(args.out, "ckpt"))
+    resumed_step = 0
+    if args.resume and ckpt.latest_step() is not None:
+        state = ckpt.restore(state)
+        resumed_step = int(state.step)
+        print(f"resumed from step {resumed_step}")
     # staged hand-off: take the flow nets from the flow-stage checkpoint and
     # the depth/pose nets from the depth-stage one (train.py:36-55 semantics)
     from unsupervised_depth_opticalflow_egomotion_tpu.utils import graft_params
@@ -188,7 +204,7 @@ def main():
         (args.graft_flow, ("fpyramid", "pwc")),
         (args.graft_depth, ("depth_net", "pose_net")),
     ):
-        if stage_dir:
+        if stage_dir and not resumed_step:
             if donor_template is None:
                 if args.fix_flow or args.fix_depth or args.fix_pose:
                     # donor stages trained unfrozen -> their opt_state tree
@@ -209,11 +225,14 @@ def main():
 
     dataset = KittiPreparedDataset(
         args.data, num_scales=cfg.num_scales, img_hw=cfg.img_hw,
-        num_iterations=args.steps * args.batch, seed=0,
+        num_iterations=args.steps * args.batch,
+        seed=resumed_step,  # a recycled process draws a fresh sample stream
         cache_decoded_bytes=1 << 30,  # 1-core host: decode dominates otherwise
         uint8_images=True,  # 4x smaller relay transfer; normalized on device
     )
-    loader = BatchLoader(dataset, args.batch, shuffle=True, num_workers=2, seed=0)
+    loader = BatchLoader(
+        dataset, args.batch, shuffle=True, num_workers=2, seed=resumed_step
+    )
 
     eval_model = build_model(cfg.replace(compute_dtype="float32"))
     flow_fn_v, disp_fn_v, _ = eval_tasks.make_inference_fns(eval_model)
@@ -230,15 +249,18 @@ def main():
             return aux
 
     eval_set = load_eval_set(args.data)
-    ckpt = CheckpointManager(os.path.join(args.out, "ckpt"))
     curves = open(os.path.join(args.out, "curves.jsonl"), "a", buffering=1)
 
-    rng = jax.random.PRNGKey(1)
-    step = 0
+    rng = jax.random.fold_in(jax.random.PRNGKey(1), resumed_step)
+    step = resumed_step
     t_last = time.time()
     last_batch = None
     for batch_np in loader:
         if step >= args.steps:
+            break
+        if args.max_steps_per_proc and step - resumed_step >= args.max_steps_per_proc:
+            print(f"[recycle] reached {args.max_steps_per_proc} steps this "
+                  f"process at step {step}; checkpointing and exiting")
             break
         batch = tuple(jax.numpy.asarray(x) for x in batch_np)
         last_batch = (batch, batch_np)
