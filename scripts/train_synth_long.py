@@ -154,6 +154,9 @@ def main():
                          "so multi-hour runs recycle the process every few "
                          "thousand steps via --resume; scripts/run_stage.sh "
                          "wraps the loop")
+    ap.add_argument("--flow_occ_impl", default="splat",
+                    choices=["splat", "diff_weights"],
+                    help="flow-mode occlusion model (A/B: PARITY.md)")
     ap.add_argument("--enable_losses", default="",
                     help="comma list from {triangle,pnp,eight_point,"
                          "depth_ssim,depth_consis} to switch on")
@@ -182,6 +185,7 @@ def main():
         fix_pose=args.fix_pose,
         num_iterations=args.steps,
         model_dir=args.out,
+        flow_occ_impl=args.flow_occ_impl,
         **{
             f"enable_{k.strip()}": True
             for k in args.enable_losses.split(",")
