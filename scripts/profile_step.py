@@ -35,7 +35,8 @@ def main():
     step_fn = make_train_step(model, cfg, tx)
 
     rng = np.random.RandomState(0)
-    images = jax.numpy.asarray(rng.rand(B, 3 * H, W, 3).astype(np.float32))
+    # uint8 frames = the production loader path (bench.py does the same)
+    images = jax.numpy.asarray((rng.rand(B, 3 * H, W, 3) * 255).astype(np.uint8))
     K = np.array([[241.0, 0, W / 2], [0, 245.0, H / 2], [0, 0, 1]], np.float32)
     K_ms = np.stack(
         [np.diag([1 / 2**s, 1 / 2**s, 1.0]).astype(np.float32) @ K for s in range(3)]

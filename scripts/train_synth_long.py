@@ -315,8 +315,12 @@ def main():
 
         @jax.jit
         def mask_fn(variables, images, K_ms, K_inv_ms):
+            # fixed sampling key: forward_geom requires an explicit rng when
+            # the RANSAC losses are enabled, and a constant one is fine for
+            # mask statistics (we read aux masks, not the sampled losses)
             _, aux = eval_model.apply(
-                variables, images, K_ms, K_inv_ms, train=False,
+                variables, images, K_ms, K_inv_ms,
+                rng=jax.random.PRNGKey(0), train=False,
                 method=eval_model.forward_geom, with_masks=True,
             )
             return aux

@@ -118,3 +118,60 @@ class TestCorrelationFused:
         got = np.asarray(cf.correlation_fused(f1, f2, 4))
         want = np.asarray(correlation(f1, f2, md=4))
         np.testing.assert_allclose(got, want, atol=0)
+
+
+class TestSSIMFused:
+    """Round-3 fused SSIM map kernel (ops/pallas/ssim_fused.py)."""
+
+    def _mod(self):
+        from unsupervised_depth_opticalflow_egomotion_tpu.ops.pallas import (
+            ssim_fused as sf,
+        )
+
+        return sf
+
+    def test_fwd_matches_xla(self):
+        from unsupervised_depth_opticalflow_egomotion_tpu.ops.ssim import ssim_xla
+
+        sf = self._mod()
+        rng = np.random.RandomState(0)
+        x = jnp.asarray(rng.rand(2, 40, 64, 3).astype(np.float32))
+        y = jnp.asarray(rng.rand(2, 40, 64, 3).astype(np.float32))
+        old = sf._FORCE_INTERPRET
+        sf._FORCE_INTERPRET = True
+        try:
+            got = np.asarray(sf.ssim_fused(x, y))
+        finally:
+            sf._FORCE_INTERPRET = old
+        np.testing.assert_allclose(got, np.asarray(ssim_xla(x, y)), atol=2e-5)
+
+    def test_bwd_matches_xla_grad(self):
+        from unsupervised_depth_opticalflow_egomotion_tpu.ops.ssim import ssim_xla
+
+        sf = self._mod()
+        rng = np.random.RandomState(1)
+        x = jnp.asarray(rng.rand(1, 36, 48, 3).astype(np.float32))
+        y = jnp.asarray(rng.rand(1, 36, 48, 3).astype(np.float32))
+        cot = jnp.asarray(rng.randn(1, 36, 48, 3).astype(np.float32))
+        dxw, dyw = jax.vjp(ssim_xla, x, y)[1](cot)
+        old = sf._FORCE_INTERPRET
+        sf._FORCE_INTERPRET = True
+        try:
+            dxg, dyg = jax.vjp(sf.ssim_fused, x, y)[1](cot)
+        finally:
+            sf._FORCE_INTERPRET = old
+        np.testing.assert_allclose(np.asarray(dxg), np.asarray(dxw), atol=2e-5)
+        np.testing.assert_allclose(np.asarray(dyg), np.asarray(dyw), atol=2e-5)
+
+    def test_cpu_fallback_is_xla(self):
+        from unsupervised_depth_opticalflow_egomotion_tpu.ops.ssim import (
+            ssim,
+            ssim_xla,
+        )
+
+        rng = np.random.RandomState(2)
+        x = jnp.asarray(rng.rand(1, 33, 40, 3).astype(np.float32))
+        y = jnp.asarray(rng.rand(1, 33, 40, 3).astype(np.float32))
+        np.testing.assert_allclose(
+            np.asarray(ssim(x, y)), np.asarray(ssim_xla(x, y)), atol=0
+        )

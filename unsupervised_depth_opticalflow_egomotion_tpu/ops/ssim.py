@@ -25,8 +25,8 @@ def _avg3x3(x: jax.Array) -> jax.Array:
     return summed / jnp.asarray(9.0, x.dtype)
 
 
-def ssim(x: jax.Array, y: jax.Array) -> jax.Array:
-    """Per-pixel SSIM map of two NHWC images.
+def ssim_xla(x: jax.Array, y: jax.Array) -> jax.Array:
+    """Per-pixel SSIM map of two NHWC images (XLA formulation).
 
     Computed in f32 regardless of the input compute dtype (the reference runs
     f32 throughout): bf16's 8-bit mantissa makes the variance E[x^2]-E[x]^2
@@ -49,3 +49,30 @@ def ssim(x: jax.Array, y: jax.Array) -> jax.Array:
     num = (2 * mu_x * mu_y + c1) * (2 * sigma_xy + c2)
     den = (mu_x * mu_x + mu_y * mu_y + c1) * (sigma_x + sigma_y + c2)
     return (num / den).astype(dt)
+
+
+# Selected implementation, read at trace time. "pallas" routes through the
+# fused VMEM-resident kernel (ops/pallas/ssim_fused.py) on TPU; it falls back
+# to the XLA formulation off-TPU or when a plane exceeds the VMEM budget.
+# Config.ssim_impl sets this via set_ssim_impl() before the step is traced.
+_SSIM_IMPL = "xla"
+
+
+def set_ssim_impl(impl: str) -> None:
+    if impl not in ("xla", "pallas"):
+        raise ValueError(f"ssim_impl must be 'xla' or 'pallas', got {impl!r}")
+    global _SSIM_IMPL
+    _SSIM_IMPL = impl
+
+
+def ssim(x: jax.Array, y: jax.Array) -> jax.Array:
+    """Per-pixel SSIM map; impl selected by set_ssim_impl (default XLA).
+
+    Identical semantics either way (pallas/ssim_fused.py pins the values
+    and gradients against this formulation in tests/test_pallas_kernels.py).
+    """
+    if _SSIM_IMPL == "pallas":
+        from .pallas.ssim_fused import ssim_fused
+
+        return ssim_fused(x, y)
+    return ssim_xla(x, y)

@@ -39,6 +39,11 @@ class TrainState:
 
 def build_model(cfg: Config) -> JointModel:
     dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+    # trace-time op-implementation selection (module-level: ssim is called
+    # from ops.losses, not through the model tree)
+    from ..ops.ssim import set_ssim_impl
+
+    set_ssim_impl(cfg.ssim_impl)
     return JointModel(
         num_scales=cfg.num_scales,
         num_input_frames=cfg.num_input_frames,
@@ -106,8 +111,18 @@ def init_state(cfg: Config, rng: jax.Array) -> tuple[JointModel, TrainState]:
     # magnitude slower than one fused compile.
     @jax.jit
     def _init(rng):
+        # forward_geom demands an explicit sampling rng when the RANSAC-based
+        # losses (triangle/pnp/eight_point) are enabled; thread one at init
+        # too so init works under any loss configuration.
+        k_params, k_sample = jax.random.split(rng)
         return model.init(
-            rng, images, K_ms, K_ms, train=False, method=model.forward_geom
+            k_params,
+            images,
+            K_ms,
+            K_ms,
+            rng=k_sample,
+            train=False,
+            method=model.forward_geom,
         )
 
     variables = _init(rng)
