@@ -70,9 +70,11 @@ class Config:
     pwc_corr: str = "fused"  # "xla" | "pallas" | "fused": PWC correlation impl
     # (hardware measurements in PERF.md; "fused" = round-3 channel-major
     # Pallas fwd+bwd kernels, ops/pallas/correlation_fused.py)
-    ssim_impl: str = "xla"  # "xla" | "pallas": SSIM map impl. "pallas" = the
-    # fused single-pass fwd+bwd kernel (ops/pallas/ssim_fused.py); value and
-    # gradient pinned against the XLA form in tests/test_pallas_kernels.py.
+    ssim_impl: str = "pallas"  # "xla" | "pallas": SSIM map impl. "pallas" =
+    # the fused single-pass fwd+bwd kernel (ops/pallas/ssim_fused.py) on
+    # planes where it measures faster (>=128x416; hardware table in PERF.md),
+    # XLA elsewhere; value and gradient pinned against the XLA form in
+    # tests/test_pallas_kernels.py.
     flow_occ_impl: str = "splat"  # flow-mode occlusion: "splat" (live
     # forward-splat scheme) | "diff_weights" (faithful model_flow.py soft
     # weights; parity-anchored, known-degenerate -- see joint.py)

@@ -42,9 +42,10 @@ from jax.experimental.pallas import tpu as pltpu
 _C1 = 0.01**2
 _C2 = 0.03**2
 
-# v5e VMEM ~16 MiB/core; per-channel planes at 256x832 f32 are ~0.85 MB so
-# the working sets below stay well inside this.
-_VMEM_BUDGET = 12 * 1024 * 1024
+# v5e scoped VMEM limit is 16 MiB/core; _vmem_bytes estimates the bwd
+# working set (~13.1 MB at 256x832) and planes must fit under this with a
+# 1 MiB safety margin for Mosaic's own bookkeeping.
+_VMEM_BUDGET = 15 * 1024 * 1024
 
 # Off-TPU the public entries fall back to the XLA formulation; kernel unit
 # tests flip this to run the kernels under the interpreter.
@@ -59,98 +60,117 @@ def _pool_into(acc, xpad, tmp, h, w):
     acc[:] = tmp[0:h] + tmp[1 : h + 1] + tmp[2 : h + 2]
 
 
-def _fwd_kernel(x_ref, y_ref, s_ref, xp, yp, p1, p2, p3, p4, p5, tmp, *, h, w):
+def _fwd_kernel(x_ref, y_ref, s_ref, xp, p1, p2, p3, p4, tmp, *, h, w):
+    # Mosaic stack-allocates whole-plane temporaries per statement, so the
+    # computation is staged through a fixed set of scratch planes with short
+    # expressions (peak VMEM is what gates full-res use of these kernels).
     ninth = jnp.asarray(1.0 / 9.0, jnp.float32)
-    x = x_ref[0, 0].astype(jnp.float32)
-    y = y_ref[0, 0].astype(jnp.float32)
-    xp[:] = jnp.zeros_like(xp)
-    yp[:] = jnp.zeros_like(yp)
-    xp[1 : h + 1, 1 : w + 1] = x
-    yp[1 : h + 1, 1 : w + 1] = y
+    xp[:] = jnp.zeros_like(xp)  # pad ring stays zero across all five pools
+    xp[1 : h + 1, 1 : w + 1] = x_ref[0, 0].astype(jnp.float32)
     _pool_into(p1, xp, tmp, h, w)
-    _pool_into(p2, yp, tmp, h, w)
-    # reuse xp/yp slots for the squared/cross planes
-    xp[1 : h + 1, 1 : w + 1] = x * x
+    p1[:] = p1[:] * ninth  # m1
+    xp[1 : h + 1, 1 : w + 1] = y_ref[0, 0].astype(jnp.float32)
+    _pool_into(p2, xp, tmp, h, w)
+    p2[:] = p2[:] * ninth  # m2
+    xp[1 : h + 1, 1 : w + 1] = (
+        x_ref[0, 0].astype(jnp.float32) * x_ref[0, 0].astype(jnp.float32)
+    )
     _pool_into(p3, xp, tmp, h, w)
-    xp[1 : h + 1, 1 : w + 1] = x * y
-    _pool_into(p5, xp, tmp, h, w)
-    yp[1 : h + 1, 1 : w + 1] = y * y
-    _pool_into(p4, yp, tmp, h, w)
-
-    m1 = p1[:] * ninth
-    m2 = p2[:] * ninth
-    sx = p3[:] * ninth - m1 * m1
-    sy = p4[:] * ninth - m2 * m2
-    sxy = p5[:] * ninth - m1 * m2
-    num = (2.0 * m1 * m2 + _C1) * (2.0 * sxy + _C2)
-    den = (m1 * m1 + m2 * m2 + _C1) * (sx + sy + _C2)
-    s_ref[0, 0] = (num / den).astype(s_ref.dtype)
+    p3[:] = p3[:] * ninth - p1[:] * p1[:]  # sx
+    xp[1 : h + 1, 1 : w + 1] = (
+        y_ref[0, 0].astype(jnp.float32) * y_ref[0, 0].astype(jnp.float32)
+    )
+    _pool_into(p4, xp, tmp, h, w)
+    p3[:] = p3[:] + (p4[:] * ninth - p2[:] * p2[:]) + _C2  # sx + sy + C2
+    xp[1 : h + 1, 1 : w + 1] = (
+        x_ref[0, 0].astype(jnp.float32) * y_ref[0, 0].astype(jnp.float32)
+    )
+    _pool_into(p4, xp, tmp, h, w)
+    p4[:] = 2.0 * (p4[:] * ninth - p1[:] * p2[:]) + _C2  # 2 sxy + C2
+    p4[:] = p4[:] * (2.0 * p1[:] * p2[:] + _C1)  # num
+    p3[:] = p3[:] * (p1[:] * p1[:] + p2[:] * p2[:] + _C1)  # den
+    s_ref[0, 0] = (p4[:] / p3[:]).astype(s_ref.dtype)
 
 
 def _bwd_kernel(
     x_ref, y_ref, g_ref, dx_ref, dy_ref,
-    xp, yp, p1, p2, f3, f5, tmp, *, h, w
+    xp, q1, q2, q3, q4, q5, q6, tmp, *, h, w
 ):
+    # Staged like _fwd_kernel: one shared pad buffer, short expressions, all
+    # intermediates confined to the six [h, w] scratch planes (plus the two
+    # transient u/v planes) so Mosaic's per-statement stack stays bounded.
     ninth = jnp.asarray(1.0 / 9.0, jnp.float32)
-    x = x_ref[0, 0].astype(jnp.float32)
-    y = y_ref[0, 0].astype(jnp.float32)
-    g = g_ref[0, 0].astype(jnp.float32)
-    xp[:] = jnp.zeros_like(xp)
-    yp[:] = jnp.zeros_like(yp)
-    xp[1 : h + 1, 1 : w + 1] = x
-    yp[1 : h + 1, 1 : w + 1] = y
-    _pool_into(p1, xp, tmp, h, w)
-    _pool_into(p2, yp, tmp, h, w)
-    xp[1 : h + 1, 1 : w + 1] = x * x
-    _pool_into(f3, xp, tmp, h, w)
-    yp[1 : h + 1, 1 : w + 1] = y * y
-    _pool_into(f5, yp, tmp, h, w)
-    m1 = p1[:] * ninth
-    m2 = p2[:] * ninth
-    sx = f3[:] * ninth - m1 * m1
-    sy = f5[:] * ninth - m2 * m2
-    xp[1 : h + 1, 1 : w + 1] = x * y
-    _pool_into(f3, xp, tmp, h, w)
-    sxy = f3[:] * ninth - m1 * m2
+    xp[:] = jnp.zeros_like(xp)  # pad ring stays zero across all pools
+    xp[1 : h + 1, 1 : w + 1] = x_ref[0, 0].astype(jnp.float32)
+    _pool_into(q1, xp, tmp, h, w)
+    q1[:] = q1[:] * ninth  # m1
+    xp[1 : h + 1, 1 : w + 1] = y_ref[0, 0].astype(jnp.float32)
+    _pool_into(q2, xp, tmp, h, w)
+    q2[:] = q2[:] * ninth  # m2
+    xp[1 : h + 1, 1 : w + 1] = (
+        x_ref[0, 0].astype(jnp.float32) * x_ref[0, 0].astype(jnp.float32)
+    )
+    _pool_into(q3, xp, tmp, h, w)
+    q3[:] = q3[:] * ninth - q1[:] * q1[:]  # sx
+    xp[1 : h + 1, 1 : w + 1] = (
+        y_ref[0, 0].astype(jnp.float32) * y_ref[0, 0].astype(jnp.float32)
+    )
+    _pool_into(q4, xp, tmp, h, w)
+    q3[:] = q3[:] + (q4[:] * ninth - q2[:] * q2[:]) + _C2  # cc = sx + sy + C2
+    xp[1 : h + 1, 1 : w + 1] = (
+        x_ref[0, 0].astype(jnp.float32) * y_ref[0, 0].astype(jnp.float32)
+    )
+    _pool_into(q4, xp, tmp, h, w)
+    q4[:] = 2.0 * (q4[:] * ninth - q1[:] * q2[:]) + _C2  # a = 2 sxy + C2
+    q5[:] = 2.0 * q1[:] * q2[:] + _C1  # b1
+    q6[:] = q1[:] * q1[:] + q2[:] * q2[:] + _C1  # e
 
-    a = 2.0 * sxy + _C2
-    b1 = 2.0 * m1 * m2 + _C1
-    cc = sx + sy + _C2
-    e = m1 * m1 + m2 * m2 + _C1
-    n = b1 * a
-    d = e * cc
-    u = g / d
-    v = -g * n / (d * d)
-    gab = u * (a - b1)
-    hce = v * (cc - e)
-    # dP1 / dP2 planes (write into p1/p2 slots -- m1/m2 no longer needed
-    # after these two lines)
-    p1[:] = 2.0 * m2 * gab + 2.0 * m1 * hce
-    p2[:] = 2.0 * m1 * gab + 2.0 * m2 * hce
-    f3[:] = v * e          # dP3 == dP4 plane
-    f5[:] = 2.0 * u * b1   # dP5 plane
+    # u = g / (e cc) lives in tmp[0:h] (tmp is free between pools); the four
+    # cotangent products then overwrite the stats in dependency order --
+    # each target slot is the last consumer of its old value:
+    #   hce = v (cc - e) -> q6   (only hce reads e beyond this point)
+    #   vE  = -u b1 a / cc -> q3 (v e with the e cc cancellation; cc dies)
+    #   gab = u (a - b1)  -> q4
+    #   dP5 = 2 u b1      -> q5
+    tmp[0:h] = g_ref[0, 0].astype(jnp.float32) / (q6[:] * q3[:])  # u
+    q6[:] = (-tmp[0:h] * (q5[:] * q4[:]) / (q6[:] * q3[:])) * (q3[:] - q6[:])
+    q3[:] = -tmp[0:h] * (q5[:] * q4[:]) / q3[:]  # vE
+    q4[:] = tmp[0:h] * (q4[:] - q5[:])  # gab
+    q5[:] = 2.0 * tmp[0:h] * q5[:]  # dP5
 
-    # pool^T == pool (constant 1/9, zero pad): pad each cotangent plane and
-    # box-sum it. The extra 1/9 from the forward's divisor is already inside
-    # the dP planes? No: P_i fed the elementwise chain as pool_sum * 1/9, so
-    # d(chain)/d(pool_sum) = dP * 1/9, and pool^T of that spreads another
-    # constant-1 box sum -- net: pool(dP)*1/9 = avg3x3(dP). Apply ninth after
-    # the box sum below.
+    # dP1 = 2 m2 gab + 2 m1 hce; dP2 = 2 m1 gab + 2 m2 hce
+    tmp[0:h] = 2.0 * q1[:] * q4[:] + 2.0 * q2[:] * q6[:]  # dP2 stash
+    q1[:] = 2.0 * q2[:] * q4[:] + 2.0 * q1[:] * q6[:]  # dP1 (self-assign ok)
+    q2[:] = tmp[0:h]  # dP2
+
+    # pool^T == pool (constant 1/9 zero-padded box filter is self-adjoint):
+    # box-sum each cotangent plane; the forward's 1/9 divisor surfaces as
+    # one `ninth` on the pooled planes at the end.
     xp[:] = jnp.zeros_like(xp)
-    xp[1 : h + 1, 1 : w + 1] = p1[:]
-    _pool_into(p1, xp, tmp, h, w)
-    xp[1 : h + 1, 1 : w + 1] = p2[:]  # note: pad ring stays zero
-    _pool_into(p2, xp, tmp, h, w)
-    xp[1 : h + 1, 1 : w + 1] = f3[:]
-    _pool_into(f3, xp, tmp, h, w)
-    xp[1 : h + 1, 1 : w + 1] = f5[:]
-    _pool_into(f5, xp, tmp, h, w)
+    xp[1 : h + 1, 1 : w + 1] = q1[:]
+    _pool_into(q1, xp, tmp, h, w)
+    xp[1 : h + 1, 1 : w + 1] = q2[:]  # pad ring stays zero
+    _pool_into(q2, xp, tmp, h, w)
+    xp[1 : h + 1, 1 : w + 1] = q3[:]
+    _pool_into(q3, xp, tmp, h, w)
+    xp[1 : h + 1, 1 : w + 1] = q5[:]
+    _pool_into(q5, xp, tmp, h, w)
 
     dx_ref[0, 0] = (
-        (p1[:] + 2.0 * x * f3[:] + y * f5[:]) * ninth
+        (
+            q1[:]
+            + 2.0 * x_ref[0, 0].astype(jnp.float32) * q3[:]
+            + y_ref[0, 0].astype(jnp.float32) * q5[:]
+        )
+        * ninth
     ).astype(dx_ref.dtype)
     dy_ref[0, 0] = (
-        (p2[:] + 2.0 * y * f3[:] + x * f5[:]) * ninth
+        (
+            q2[:]
+            + 2.0 * y_ref[0, 0].astype(jnp.float32) * q3[:]
+            + x_ref[0, 0].astype(jnp.float32) * q5[:]
+        )
+        * ninth
     ).astype(dy_ref.dtype)
 
 
@@ -173,13 +193,11 @@ def _ssim_fwd_pallas(xc, yc, interpret: bool):
         in_specs=in_specs,
         out_specs=out_spec,
         scratch_shapes=[
-            pltpu.VMEM((h + 2, w + 2), f32),  # xp
-            pltpu.VMEM((h + 2, w + 2), f32),  # yp
+            pltpu.VMEM((h + 2, w + 2), f32),  # xp (shared pad buffer)
             pltpu.VMEM((h, w), f32),  # p1
             pltpu.VMEM((h, w), f32),  # p2
             pltpu.VMEM((h, w), f32),  # p3
             pltpu.VMEM((h, w), f32),  # p4
-            pltpu.VMEM((h, w), f32),  # p5
             pltpu.VMEM((h + 2, w), f32),  # tmp
         ],
         interpret=interpret,
@@ -201,12 +219,13 @@ def _ssim_bwd_pallas(xc, yc, gc, interpret: bool):
         in_specs=in_specs,
         out_specs=out_specs,
         scratch_shapes=[
-            pltpu.VMEM((h + 2, w + 2), f32),  # xp
-            pltpu.VMEM((h + 2, w + 2), f32),  # yp
-            pltpu.VMEM((h, w), f32),  # p1
-            pltpu.VMEM((h, w), f32),  # p2
-            pltpu.VMEM((h, w), f32),  # f3
-            pltpu.VMEM((h, w), f32),  # f5
+            pltpu.VMEM((h + 2, w + 2), f32),  # xp (shared pad buffer)
+            pltpu.VMEM((h, w), f32),  # q1
+            pltpu.VMEM((h, w), f32),  # q2
+            pltpu.VMEM((h, w), f32),  # q3
+            pltpu.VMEM((h, w), f32),  # q4
+            pltpu.VMEM((h, w), f32),  # q5
+            pltpu.VMEM((h, w), f32),  # q6
             pltpu.VMEM((h + 2, w), f32),  # tmp
         ],
         interpret=interpret,
@@ -214,12 +233,23 @@ def _ssim_bwd_pallas(xc, yc, gc, interpret: bool):
 
 
 def _vmem_bytes(h, w):
+    """Worst-case (bwd) working set: shared pad buffer + six scratch planes
+    + tmp + double-buffered bf16 in/out blocks + ~2 planes of Mosaic
+    statement temporaries (the closed-form hce expression's live set)."""
+
     def padded_lanes(lanes):
         return -(-lanes // 128) * 128
 
     plane = h * padded_lanes(w) * 4
     pad_plane = (h + 2) * padded_lanes(w + 2) * 4
-    return 2 * pad_plane + 5 * plane + (h + 2) * padded_lanes(w) * 4
+    block_bf16 = h * padded_lanes(w) * 2
+    return (
+        pad_plane
+        + 6 * plane
+        + (h + 2) * padded_lanes(w) * 4
+        + 2 * 5 * block_bf16
+        + 2 * plane
+    )
 
 
 def ssim_fits(h, w) -> bool:
@@ -228,7 +258,11 @@ def ssim_fits(h, w) -> bool:
 
 def _use_kernel(shape) -> bool:
     b, h, w, c = shape
-    if h * w < 1024 or not ssim_fits(h, w):
+    # Hardware measurements (scripts/bench_ssim_fused.py, v5e-class chip):
+    # the kernel wins 3.98 -> 2.28 ms fwd+bwd at 256x832 and ties at
+    # 128x416; below that the XLA form's fusions win, so only large planes
+    # route to the kernel.
+    if h * w < 50_000 or not ssim_fits(h, w):
         return False
     on_tpu = jax.default_backend() not in ("cpu", "gpu")
     return on_tpu or _FORCE_INTERPRET
