@@ -53,7 +53,8 @@ def main():
         make_train_step,
     )
 
-    batch_size = 8
+    import os as _os
+    batch_size = int(_os.environ.get("BENCH_BATCH", "8"))
     h, w = 256, 832
     cfg = Config(img_hw=(h, w), mode="geom", compute_dtype="bfloat16", batch_size=batch_size)
 

@@ -76,6 +76,11 @@ def main():
         "geom-only (dfc+epipolar)": ["loss_depth_flow_consis", "loss_epipolar"],
         "flow_pixel only": ["loss_flow_pixel"],
         "depth_pixel only": ["loss_depth_pixel"],
+        "all minus smooths": [
+            k for k in ALL if k not in ("loss_depth_smooth", "loss_flow_smooth")
+        ],
+        "all minus ssim": [k for k in ALL if k != "loss_flow_ssim"],
+        "all minus consis": [k for k in ALL if k != "loss_flow_consis"],
     }
     for name, keys in subsets.items():
         ms = timeit(subset_grad(keys), state.params)

@@ -24,7 +24,8 @@ from unsupervised_depth_opticalflow_egomotion_tpu.parallel import (
     make_train_step,
 )
 
-LOGDIR = "/tmp/xprof_step"
+LOGDIR = f"/tmp/xprof_step/{os.getpid()}"  # fresh dir: stale xplane files
+# from earlier sessions break the converter (it merges all globbed planes)
 
 
 def main():

@@ -47,6 +47,26 @@ class TestResize:
         want = F.interpolate(torch.from_numpy(to_nchw(x)), (4, 6), mode="area").numpy()
         np.testing.assert_allclose(got, to_nhwc(want), atol=1e-5)
 
+    @pytest.mark.parametrize(
+        "src,dst",
+        [
+            ((16, 24), (32, 48)),   # x2 up (closed form)
+            ((8, 12), (32, 48)),    # x4 up (one-shot phases, NOT two chained x2)
+            ((16, 24), (8, 12)),    # 1/2 down
+            ((32, 48), (8, 12)),    # 1/4 down
+            ((16, 24), (32, 12)),   # mixed up/down per axis
+            ((16, 24), (24, 36)),   # non-pow2: jax.image.resize fallback
+        ],
+    )
+    def test_bilinear_pow2_paths_match_torch(self, src, dst):
+        """The closed-form pow-2 fast paths must be exact vs the oracle."""
+        x = RNG.rand(2, src[0], src[1], 3).astype(np.float32)
+        got = np.asarray(ops.resize_bilinear(jnp.asarray(x), dst))
+        want = F.interpolate(
+            torch.from_numpy(to_nchw(x)), dst, mode="bilinear", align_corners=False
+        ).numpy()
+        np.testing.assert_allclose(got, to_nhwc(want), atol=1e-5)
+
 
 class TestGridSample:
     def test_matches_torch_align_corners_true(self):

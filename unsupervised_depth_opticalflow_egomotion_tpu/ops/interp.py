@@ -21,12 +21,81 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def _pow2_ratio(src: int, dst: int) -> int | None:
+    """Return k for dst == src * 2**k (k<0 = downsample), else None."""
+    if src <= 0 or dst <= 0:
+        return None
+    big, small = (dst, src) if dst >= src else (src, dst)
+    if big % small:
+        return None
+    r = big // small
+    if r & (r - 1):
+        return None
+    return r.bit_length() - 1 if dst >= src else -(r.bit_length() - 1)
+
+
+def _axis_up_pow2(y: jax.Array, axis: int, n: int) -> jax.Array:
+    """One-shot factor-n (n = 2**k) half-pixel bilinear upsample along axis.
+
+    Output o = n*i + p samples source coordinate i + f_p with
+    f_p = (p + 0.5 - n/2)/n in (-0.5, 0.5): a fixed 2-tap blend per phase,
+    realized as shifted adds + a phase interleave (no dot_generals).
+    """
+    m = y.shape[axis]
+    lo = jnp.concatenate(
+        [jax.lax.slice_in_dim(y, 0, 1, axis=axis),
+         jax.lax.slice_in_dim(y, 0, m - 1, axis=axis)], axis
+    )
+    hi = jnp.concatenate(
+        [jax.lax.slice_in_dim(y, 1, m, axis=axis),
+         jax.lax.slice_in_dim(y, m - 1, m, axis=axis)], axis
+    )
+    phases = []
+    for p in range(n):
+        f = (p + 0.5 - n / 2.0) / n
+        nb, af = (lo, -f) if f < 0 else (hi, f)
+        phases.append(y * jnp.asarray(1.0 - af, y.dtype) + nb * jnp.asarray(af, y.dtype))
+    st = jnp.stack(phases, axis=axis + 1)
+    shape = list(y.shape)
+    shape[axis] *= n
+    return st.reshape(shape)
+
+
+def _axis_down_pow2(y: jax.Array, axis: int, n: int) -> jax.Array:
+    """Factor-1/n (n = 2**k) half-pixel bilinear downsample along axis.
+
+    Output o samples source coordinate n*o + (n-1)/2: always frac 0.5 on the
+    two middle elements of each n-block -> mean of two strided slices.
+    """
+    c0 = n // 2 - 1
+    a = jax.lax.slice_in_dim(y, c0, y.shape[axis], stride=n, axis=axis)
+    b = jax.lax.slice_in_dim(y, c0 + 1, y.shape[axis], stride=n, axis=axis)
+    return (a + b) * jnp.asarray(0.5, y.dtype)
+
+
 def resize_bilinear(x: jax.Array, hw: tuple[int, int]) -> jax.Array:
-    """Bilinear resize (align_corners=False, no antialias) on NHWC tensors."""
+    """Bilinear resize (align_corners=False, no antialias) on NHWC tensors.
+
+    Power-of-two ratios (the only ones the training graph uses: disp-smooth
+    upsamples, PWC output flows, the geometry image pyramid) take a
+    closed-form shifted-add path; jax.image.resize lowers to per-axis
+    dot_generals whose operand layouts cost full-tensor copies on TPU
+    (PERF.md). Equality with jax.image.resize is pinned in
+    tests/test_ops.py::TestResizePow2.
+    """
     b, h, w, c = x.shape
     nh, nw = int(hw[0]), int(hw[1])
     if (nh, nw) == (h, w):
         return x
+    kh, kw = _pow2_ratio(h, nh), _pow2_ratio(w, nw)
+    if kh is not None and kw is not None:
+        y = x
+        for axis, k in ((1, kh), (2, kw)):
+            if k > 0:
+                y = _axis_up_pow2(y, axis, 1 << k)
+            elif k < 0:
+                y = _axis_down_pow2(y, axis, 1 << -k)
+        return y
     return jax.image.resize(x, (b, nh, nw, c), method="linear", antialias=False)
 
 
