@@ -100,3 +100,70 @@ def test_feature_pyramid_packed_equivalence():
     for a, b in zip(out0, out1):
         assert a.shape == b.shape
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+
+
+def _reflect_conv_ref(x, wt, b):
+    xr = jnp.concatenate([x[:, 1:2], x, x[:, -2:-1]], axis=1)
+    xr = jnp.concatenate([xr[:, :, 1:2], xr, xr[:, :, -2:-1]], axis=2)
+    return (
+        jax.lax.conv_general_dilated(
+            xr, wt, (1, 1), "VALID", dimension_numbers=("NHWC", "HWIO", "NHWC")
+        )
+        + b
+    )
+
+
+def test_rect_pack_roundtrip_and_repack():
+    from unsupervised_depth_opticalflow_egomotion_tpu.ops.packed_conv import (
+        depth_to_space_rect,
+        repack_22_to_24,
+        space_to_depth_rect,
+    )
+
+    x = jnp.asarray(np.random.RandomState(5).randn(2, 8, 16, 5), jnp.float32)
+    xp = space_to_depth_rect(x, 2, 4)
+    np.testing.assert_array_equal(np.asarray(depth_to_space_rect(xp, 2, 4)), x)
+    # repack from (2,2) to (2,4) is the same logical tensor
+    np.testing.assert_array_equal(
+        np.asarray(repack_22_to_24(space_to_depth(x))), np.asarray(xp)
+    )
+
+
+def test_rect_packed_reflect_conv_matches_plain():
+    from unsupervised_depth_opticalflow_egomotion_tpu.ops.packed_conv import (
+        depth_to_space_rect,
+        packed_conv_reflect_rect,
+        space_to_depth_rect,
+    )
+
+    rng = np.random.RandomState(6)
+    for h, w, ci, co in [(8, 16, 5, 7), (6, 8, 16, 1), (4, 12, 3, 16)]:
+        x = jnp.asarray(rng.randn(2, h, w, ci), jnp.float32)
+        wt = jnp.asarray(rng.randn(3, 3, ci, co), jnp.float32)
+        b = jnp.asarray(rng.randn(co), jnp.float32)
+        ref = _reflect_conv_ref(x, wt, b)
+        got = depth_to_space_rect(
+            packed_conv_reflect_rect(space_to_depth_rect(x, 2, 4), wt, b, 2, 4),
+            2,
+            4,
+        )
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
+
+
+def test_packed_upsample_24_matches_plain():
+    from unsupervised_depth_opticalflow_egomotion_tpu.ops.interp import (
+        upsample2x_bilinear,
+    )
+    from unsupervised_depth_opticalflow_egomotion_tpu.ops.packed_conv import (
+        depth_to_space_rect,
+        packed_upsample2x_bilinear_24,
+        space_to_depth_rect,
+    )
+
+    x = jnp.asarray(np.random.RandomState(7).randn(2, 10, 16, 3), jnp.float32)
+    got = depth_to_space_rect(
+        packed_upsample2x_bilinear_24(space_to_depth_rect(x, 2, 4)), 2, 4
+    )
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(upsample2x_bilinear(x)), atol=1e-6
+    )

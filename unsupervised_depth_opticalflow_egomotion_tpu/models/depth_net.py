@@ -25,7 +25,9 @@ import jax.numpy as jnp
 from ..ops.interp import upsample2x_bilinear
 from ..ops.packed_conv import (
     depth_to_space,
-    packed_upsample2x_bilinear,
+    depth_to_space_rect,
+    packed_upsample2x_bilinear_24,
+    repack_22_to_24,
     space_to_depth,
 )
 from .layers import ReflectConv3x3, kaiming_normal_out, max_pool_3x3_s2_p1
@@ -120,7 +122,7 @@ class ConvBlock(nn.Module):
     """ReflectConv3x3 + ELU (depth_model.py:97-109)."""
 
     features: int
-    packed: bool = False
+    packed: bool | str = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -151,6 +153,14 @@ class DepthDecoder(nn.Module):
         idx = 0
         is_packed = False
         for scale in range(4, -1, -1):
+            if is_packed and scale == 0:
+                # widen to (2,4) packing before the scale-0 segment: its 16
+                # logical channels x8 = 128 fill the lane dim for the two
+                # full-res convs (3.94 -> 2.69 ms each on hardware; PERF.md);
+                # repacking here, at half resolution, is half the bytes of
+                # repacking after the upsample
+                x = repack_22_to_24(x)
+                is_packed = "24"
             x = ConvBlock(
                 _DEC_CH[scale], packed=is_packed, name=f"ConvBlock_{idx}",
                 dtype=self.dtype,
@@ -159,7 +169,7 @@ class DepthDecoder(nn.Module):
             if is_packed and scale == 0:
                 # no skip concat at scale 0: upsample without leaving packed
                 # space (saves two full-res transposes + resize layout copies)
-                x = packed_upsample2x_bilinear(x)
+                x = packed_upsample2x_bilinear_24(x)
             else:
                 if is_packed:
                     x = depth_to_space(x)
@@ -182,7 +192,9 @@ class DepthDecoder(nn.Module):
                     dtype=self.dtype,
                 )
                 disp = head(x)
-                if is_packed:
+                if is_packed == "24":
+                    disp = depth_to_space_rect(disp, 2, 4)
+                elif is_packed:
                     disp = depth_to_space(disp)
                 outputs[scale] = nn.sigmoid(disp)
         return [outputs[s] for s in range(self.num_scales)]

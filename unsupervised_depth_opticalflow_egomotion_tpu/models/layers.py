@@ -17,7 +17,11 @@ from typing import Any
 import flax.linen as nn
 import jax.numpy as jnp
 
-from ..ops.packed_conv import packed_conv, packed_conv_reflect
+from ..ops.packed_conv import (
+    packed_conv,
+    packed_conv_reflect,
+    packed_conv_reflect_rect,
+)
 
 # torch Conv2d default: uniform with bound 1/sqrt(fan_in) == variance_scaling(1/3).
 torch_conv_init = nn.initializers.variance_scaling(1.0 / 3.0, "fan_in", "uniform")
@@ -121,16 +125,21 @@ class Conv(nn.Module):
 class ReflectConv3x3(nn.Module):
     """Reflection-padded 3x3 conv (depth_model.py:111-126).
 
-    With ``packed=True`` input and output are space-to-depth packed; the
-    reflection halo is built in packed space (ops.packed_conv).
+    ``packed`` selects the space-to-depth layout: False = plain NHWC,
+    True = (2,2)-packed, "24" = (2,4)-packed (the scale-0 decoder segment,
+    where 16 logical channels x 8 = 128 fills the lane dim; PERF.md). The
+    reflection halo is built in packed space (ops.packed_conv) either way.
     """
 
     features: int
-    packed: bool = False
+    packed: bool | str = False
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):
+        if self.packed == "24":
+            k, b = _ConvParams(self.features, x.shape[-1] // 8, name="Conv_0")()
+            return packed_conv_reflect_rect(x, k.astype(self.dtype), b, 2, 4)
         if self.packed:
             k, b = _ConvParams(self.features, x.shape[-1] // 4, name="Conv_0")()
             return packed_conv_reflect(x, k.astype(self.dtype), b)

@@ -195,3 +195,184 @@ def packed_conv_reflect(
     if bias is not None:
         out = out + jnp.tile(bias, 4).astype(out.dtype)
     return out
+
+
+# ---------------------------------------------------------------- rect packs
+# Rectangular (fy, fx) generalization for the 16-channel decoder segment:
+# 2x2 packing of 16ch gives 64 packed channels (half the 128 lanes); 2x4
+# gives 128 and measures 3.94 -> 2.69 ms on the scale-0 conv shape despite
+# 2x the padded MACs (scripts/bench_conv.py table in PERF.md). Channel
+# layout generalizes to ((dy*fx + dx) * C + c).
+
+
+def space_to_depth_rect(x: jax.Array, fy: int, fx: int) -> jax.Array:
+    """[B,H,W,C] -> [B,H/fy,W/fx,fy*fx*C]."""
+    b, h, w, c = x.shape
+    assert h % fy == 0 and w % fx == 0, f"pack {fy}x{fx} needs divisible H,W"
+    x = x.reshape(b, h // fy, fy, w // fx, fx, c)
+    return x.transpose(0, 1, 3, 2, 4, 5).reshape(b, h // fy, w // fx, fy * fx * c)
+
+
+def depth_to_space_rect(x: jax.Array, fy: int, fx: int) -> jax.Array:
+    """Inverse of :func:`space_to_depth_rect`."""
+    b, h, w, cf = x.shape
+    c = cf // (fy * fx)
+    x = x.reshape(b, h, w, fy, fx, c).transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(b, fy * h, fx * w, c)
+
+
+def pack_kernel_rect(w: jax.Array, fy: int, fx: int) -> jax.Array:
+    """Remap a logical [3,3,Cin,Co] stride-1 kernel onto (fy,fx) packing.
+
+    Always 3x3 in packed space (tap offsets -1..+1 reach at most one block
+    beyond each side for any f >= 2), with structural zeros where a
+    (sub-position, tap) pair maps elsewhere.
+    """
+    assert w.shape[:2] == (3, 3), f"only 3x3 kernels; got {w.shape}"
+    cin, co = w.shape[2], w.shape[3]
+    wp = jnp.zeros((3, 3, fy * fx * cin, fy * fx * co), w.dtype)
+    for oy in range(fy):
+        for ox in range(fx):
+            for ky in range(3):
+                for kx in range(3):
+                    ty, tx = oy + ky - 1, ox + kx - 1
+                    KY, dy = ty // fy + 1, ty % fy
+                    KX, dx = tx // fx + 1, tx % fx
+                    ci = (dy * fx + dx) * cin
+                    coo = (oy * fx + ox) * co
+                    wp = wp.at[KY, KX, ci : ci + cin, coo : coo + co].add(
+                        w[ky, kx]
+                    )
+    return wp
+
+
+def packed_reflect_pad1_rect(xp: jax.Array, fy: int, fx: int) -> jax.Array:
+    """Width-1 logical reflection pad on an (fy,fx)-packed tensor.
+
+    Only one halo sub-row/col per side is ever referenced by the 3x3 packed
+    kernel (tap offsets reach exactly one logical line past the edge):
+      row -1 = x[1]    -> halo block dy = fy-1 <- block 0's dy-group 1
+      row H  = x[H-2]  -> halo block dy = 0    <- last block's dy-group fy-2
+    and the analogues along the width; every other sub-position is zero.
+    """
+    b, hp, wp_, cf = xp.shape
+    c = cf // (fy * fx)
+    gw = fx * c  # channels per dy-group
+
+    def dygroup(t, g):
+        return t[..., g * gw : (g + 1) * gw]
+
+    ztop = jnp.zeros((b, 1, wp_, gw), xp.dtype)
+    top = jnp.concatenate(
+        [ztop] * (fy - 1) + [dygroup(xp[:, :1], 1)], axis=-1
+    )
+    bot = jnp.concatenate(
+        [dygroup(xp[:, -1:], fy - 2 if fy > 1 else 0)] + [ztop] * (fy - 1),
+        axis=-1,
+    )
+    v = jnp.concatenate([top, xp, bot], axis=1)
+
+    zc = jnp.zeros((b, hp + 2, 1, c), xp.dtype)
+
+    def dxslice(t, dy, dx):
+        o = (dy * fx + dx) * c
+        return t[..., o : o + c]
+
+    left_parts, right_parts = [], []
+    for dy in range(fy):
+        for dx in range(fx):
+            left_parts.append(
+                dxslice(v[:, :, :1], dy, 1) if dx == fx - 1 else zc
+            )
+            right_parts.append(
+                dxslice(v[:, :, -1:], dy, fx - 2) if dx == 0 else zc
+            )
+    left = jnp.concatenate(left_parts, axis=-1)
+    right = jnp.concatenate(right_parts, axis=-1)
+    return jnp.concatenate([left, v, right], axis=2)
+
+
+def packed_conv_reflect_rect(
+    xp: jax.Array, w: jax.Array, bias: jax.Array | None, fy: int, fx: int
+) -> jax.Array:
+    """Reflection-padded 3x3 stride-1 conv on an (fy,fx)-packed tensor."""
+    wp = pack_kernel_rect(w, fy, fx)
+    out = jax.lax.conv_general_dilated(
+        packed_reflect_pad1_rect(xp, fy, fx),
+        wp.astype(xp.dtype),
+        (1, 1),
+        "VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    if bias is not None:
+        out = out + jnp.tile(bias, fy * fx).astype(out.dtype)
+    return out
+
+
+def repack_22_to_24(xp: jax.Array) -> jax.Array:
+    """(2,2)-packed [B,H,W,4C] -> (2,4)-packed [B,H,W/2,8C] of the same
+    logical tensor: new w-block q covers logical cols 4q..4q+3 = old blocks
+    2q (dx 0,1) then 2q+1 (dx 0,1); pure strided slices + one concat."""
+    b, hp, wp_, c4 = xp.shape
+    c = c4 // 4
+    parts = []
+    for dy in range(2):
+        for we in (0, 1):  # even / odd old w-blocks
+            for dx in range(2):
+                o = (dy * 2 + dx) * c
+                parts.append(xp[:, :, we::2, o : o + c])
+    return jnp.concatenate(parts, axis=-1)
+
+
+def packed_upsample2x_bilinear_24(xp: jax.Array) -> jax.Array:
+    """2x bilinear upsample (align_corners=False) on a (2,4)-packed tensor.
+
+    Same derivation as :func:`packed_upsample2x_bilinear` with the column
+    pass over quarters: output w-block q covers out-cols 4q..4q+3 whose
+    source columns are 2q-1..2q+2, i.e. quarters (D_{r-1}, A_r, B_r, C_r)
+    for even q = 2r and (B_r, C_r, D_r, A_{r+1}) for odd q (edges clamped).
+    """
+    b, hp, wp_, cf = xp.shape
+    c2 = cf // 2
+    c = cf // 8
+
+    # row pass on the dy halves (identical algebra to the (2,2) version)
+    A, B = xp[..., :c2], xp[..., c2:]
+    Bprev = jnp.concatenate([A[:, :1], B[:, :-1]], axis=1)
+    Anext = jnp.concatenate([A[:, 1:], B[:, -1:]], axis=1)
+    even = jnp.concatenate([0.75 * A + 0.25 * Bprev, 0.75 * A + 0.25 * B], axis=-1)
+    odd = jnp.concatenate([0.75 * B + 0.25 * A, 0.75 * B + 0.25 * Anext], axis=-1)
+    t = jnp.stack([even, odd], axis=2).reshape(b, 2 * hp, wp_, cf)
+
+    # column pass on the dx quarters inside each dy half
+    evens, odds = [], []
+    for h0 in (0, c2):
+        q = [t[..., h0 + i * c : h0 + (i + 1) * c] for i in range(4)]
+        A_, B_, C_, D_ = q
+        Dp = jnp.concatenate([A_[:, :, :1], D_[:, :, :-1]], axis=2)
+        An = jnp.concatenate([A_[:, :, 1:], D_[:, :, -1:]], axis=2)
+        evens.append(
+            jnp.concatenate(
+                [
+                    0.75 * A_ + 0.25 * Dp,
+                    0.75 * A_ + 0.25 * B_,
+                    0.25 * A_ + 0.75 * B_,
+                    0.75 * B_ + 0.25 * C_,
+                ],
+                axis=-1,
+            )
+        )
+        odds.append(
+            jnp.concatenate(
+                [
+                    0.25 * B_ + 0.75 * C_,
+                    0.75 * C_ + 0.25 * D_,
+                    0.25 * C_ + 0.75 * D_,
+                    0.75 * D_ + 0.25 * An,
+                ],
+                axis=-1,
+            )
+        )
+    even_c = jnp.concatenate(evens, axis=-1)
+    odd_c = jnp.concatenate(odds, axis=-1)
+    return jnp.stack([even_c, odd_c], axis=3).reshape(b, 2 * hp, 2 * wp_, cf)
