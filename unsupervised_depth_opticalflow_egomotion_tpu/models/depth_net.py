@@ -153,7 +153,7 @@ class DepthDecoder(nn.Module):
         idx = 0
         is_packed = False
         for scale in range(4, -1, -1):
-            if is_packed and scale == 0:
+            if is_packed is True and scale == 0:
                 # widen to (2,4) packing before the scale-0 segment: its 16
                 # logical channels x8 = 128 fill the lane dim for the two
                 # full-res convs (3.94 -> 2.69 ms each on hardware; PERF.md);
@@ -178,6 +178,10 @@ class DepthDecoder(nn.Module):
                 if scale > 0:
                     x = jnp.concatenate([x, features[scale - 1]], axis=-1)
                 if self.packed and scale <= 1:
+                    # (2,2) here: the scale-1 segment's 96-channel concat
+                    # input already fills 384 lanes; (2,4) doubles its MACs
+                    # for no win (42.7 -> 41.6 fps measured). The 16-channel
+                    # scale-0 segment widens to (2,4) below.
                     x = space_to_depth(x)
                     is_packed = True
             x = ConvBlock(
