@@ -159,7 +159,7 @@ def main():
                     help="hold the whole prepared set in HBM and ship only "
                          "per-step indices (see the relay-leak note)")
     ap.add_argument("--flow_occ_impl", default="splat",
-                    choices=["splat", "diff_weights"],
+                    choices=["splat", "splat_nn", "diff_weights"],
                     help="flow-mode occlusion model (A/B: PARITY.md)")
     ap.add_argument("--enable_losses", default="",
                     help="comma list from {triangle,pnp,eight_point,"
@@ -207,25 +207,16 @@ def main():
     # the depth/pose nets from the depth-stage one (train.py:36-55 semantics)
     from unsupervised_depth_opticalflow_egomotion_tpu.utils import graft_params
 
-    donor_template = None
     for stage_dir, keys in (
         (args.graft_flow, ("fpyramid", "pwc")),
         (args.graft_depth, ("depth_net", "pose_net")),
     ):
         if stage_dir and not resumed_step:
-            if donor_template is None:
-                if args.fix_flow or args.fix_depth or args.fix_pose:
-                    # donor stages trained unfrozen -> their opt_state tree
-                    # differs from a frozen run's; restore against an
-                    # unfrozen template (only params are grafted anyway)
-                    _, donor_template = init_state(
-                        cfg.replace(fix_flow=False, fix_depth=False, fix_pose=False),
-                        jax.random.PRNGKey(0),
-                    )
-                else:
-                    donor_template = state
-            donor = CheckpointManager(stage_dir).restore(donor_template)
-            subset = {k: donor.params[k] for k in keys if k in donor.params}
+            # template-free params restore: works whatever freezing flags
+            # the donor stage was trained with (opt_state layouts differ;
+            # utils/checkpoint.py restore_params)
+            donor_params = CheckpointManager(stage_dir).restore_params()
+            subset = {k: donor_params[k] for k in keys if k in donor_params}
             state = state.replace(params=graft_params(state.params, subset))
             print(f"grafted {keys} from {stage_dir}")
     tx = make_optimizer(cfg, state.params)

@@ -50,3 +50,38 @@ class TestForwardSplat:
         mask = np.asarray(occlusion_mask_from_flow(jnp.asarray(flow)))
         assert mask[0, 4, 4, 0] == 1.0
         assert mask.sum() < h * w * 0.2
+
+
+class TestNearestSplat:
+    def test_matches_bilinear_mask_on_integer_flow(self):
+        rng = np.random.RandomState(0)
+        flow = jnp.asarray(
+            rng.randint(-3, 4, (2, 8, 12, 2)).astype(np.float32)
+        )
+        bil = occlusion_mask_from_flow(flow, "bilinear")
+        nn = occlusion_mask_from_flow(flow, "nearest")
+        np.testing.assert_array_equal(np.asarray(bil), np.asarray(nn))
+
+    def test_fractional_flow_mask_properties(self):
+        rng = np.random.RandomState(1)
+        flow = jnp.asarray(rng.randn(2, 8, 12, 2).astype(np.float32))
+        nn = np.asarray(occlusion_mask_from_flow(flow, "nearest"))
+        assert nn.min() >= 0.0 and nn.max() <= 1.0
+        # zero flow -> full coverage
+        z = np.asarray(
+            occlusion_mask_from_flow(jnp.zeros((1, 6, 6, 2)), "nearest")
+        )
+        np.testing.assert_array_equal(z, np.ones_like(z))
+
+    def test_converging_flow_marks_occlusion(self):
+        # all pixels map to the center column: most targets get no mass
+        h, w = 6, 8
+        gx = np.arange(w, dtype=np.float32)
+        fx = (w // 2 - gx)[None, None, :, None]
+        flow = np.concatenate(
+            [np.tile(fx, (1, h, 1, 1)), np.zeros((1, h, w, 1), np.float32)],
+            axis=-1,
+        )
+        nn = np.asarray(occlusion_mask_from_flow(jnp.asarray(flow), "nearest"))
+        assert nn[0, :, w // 2].min() == 1.0
+        assert (nn == 0).sum() > 0

@@ -76,8 +76,10 @@ class Config:
     # XLA elsewhere; value and gradient pinned against the XLA form in
     # tests/test_pallas_kernels.py.
     flow_occ_impl: str = "splat"  # flow-mode occlusion: "splat" (live
-    # forward-splat scheme) | "diff_weights" (faithful model_flow.py soft
-    # weights; parity-anchored, known-degenerate -- see joint.py)
+    # forward-splat scheme) | "splat_nn" (single-tap nearest splat; 1/4 the
+    # scatter rows, same mask away from boundaries) | "diff_weights"
+    # (faithful model_flow.py soft weights; parity-anchored,
+    # known-degenerate -- see joint.py)
     decode_cache_bytes: int = 2 << 30  # host decoded-PNG cache budget (0 = off)
     grad_clip_norm: float = 0.0  # optax global-norm gradient clip (0 = off;
     # the reference has none -- an opt-in stabilizer for from-scratch stages)

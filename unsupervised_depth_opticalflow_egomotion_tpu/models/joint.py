@@ -240,8 +240,9 @@ class JointModel(nn.Module):
         # center->side pairs); pixels receiving no mass are occluded. The
         # mask is geometric, direction-independent, and all-ones at the
         # zero-flow init -- a natural warm start.
-        occ_fwd = [occlusion_mask_from_flow(-f) for f in flows_fwd]
-        occ_bwd = [occlusion_mask_from_flow(-f) for f in flows_bwd]
+        occ_taps = "nearest" if self.flow_occ_impl == "splat_nn" else "bilinear"
+        occ_fwd = [occlusion_mask_from_flow(-f, occ_taps) for f in flows_fwd]
+        occ_bwd = [occlusion_mask_from_flow(-f, occ_taps) for f in flows_bwd]
         valid_fwd = [
             1.0 - jnp.all(wr == 0, axis=-1, keepdims=True).astype(wr.dtype)
             for wr in warped_from_r

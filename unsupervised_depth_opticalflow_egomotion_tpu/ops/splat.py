@@ -67,13 +67,53 @@ def forward_splat(values: jax.Array, flow: jax.Array) -> jax.Array:
     return out.reshape(b, h, w, c)
 
 
-def occlusion_mask_from_flow(flow: jax.Array) -> jax.Array:
+def forward_splat_nearest_mass(flow: jax.Array) -> jax.Array:
+    """Unit-mass coverage [B,H,W,1] splatting each source pixel to its
+    single nearest target pixel (one scatter-add instead of four).
+
+    For the stop-gradient clamped occlusion mask the four bilinear taps only
+    soften boundary values; nearest-tap coverage is the same mask away from
+    boundaries at 1/4 the scatter rows (scatters are the flow-mode hot spot:
+    TRAINING.md throughput notes).
+    """
+    b, h, w, _ = flow.shape
+    grid = pixel_grid(h, w, flow.dtype)[None]
+    xi = jnp.round(grid[..., 0] + flow[..., 0])
+    yi = jnp.round(grid[..., 1] + flow[..., 1])
+    inb = (xi >= 0) & (xi <= w - 1) & (yi >= 0) & (yi <= h - 1)
+    idx = (
+        jnp.clip(yi, 0, h - 1).astype(jnp.int32) * w
+        + jnp.clip(xi, 0, w - 1).astype(jnp.int32)
+    ).reshape(b, h * w)
+    contrib = jnp.where(inb, 1.0, 0.0).reshape(b, h * w, 1).astype(flow.dtype)
+    dn = jax.lax.ScatterDimensionNumbers(
+        update_window_dims=(2,),
+        inserted_window_dims=(1,),
+        scatter_dims_to_operand_dims=(1,),
+        operand_batching_dims=(0,),
+        scatter_indices_batching_dims=(0,),
+    )
+    out = jax.lax.scatter_add(
+        jnp.zeros((b, h * w, 1), flow.dtype),
+        idx[..., None],
+        contrib,
+        dn,
+        mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS,
+    )
+    return out.reshape(b, h, w, 1)
+
+
+def occlusion_mask_from_flow(flow: jax.Array, taps: str = "bilinear") -> jax.Array:
     """Occlusion mask [B,H,W,1] by forward-splatting ones along ``flow``.
 
     Mirrors the reference's intended get_occlusion_mask_from_flow
     (model_flow.py:33-39): splatted mass clamped to [0, 1]; ~0 = occluded.
+    ``taps="nearest"`` uses single-tap coverage (flow_occ_impl="splat_nn").
     """
     b, h, w, _ = flow.shape
-    ones = jnp.ones((b, h, w, 1), flow.dtype)
-    mass = forward_splat(ones, flow)
+    if taps == "nearest":
+        mass = forward_splat_nearest_mass(flow)
+    else:
+        ones = jnp.ones((b, h, w, 1), flow.dtype)
+        mass = forward_splat(ones, flow)
     return jax.lax.stop_gradient(jnp.clip(mass, 0.0, 1.0))

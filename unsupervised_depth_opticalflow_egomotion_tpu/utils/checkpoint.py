@@ -32,6 +32,19 @@ class CheckpointManager:
     def latest_step(self) -> Optional[int]:
         return self.manager.latest_step()
 
+    def restore_params(self, step: Optional[int] = None) -> Any:
+        """Restore only the ``params`` sub-tree, layout-agnostic.
+
+        Restores the raw saved pytree without a template, so it works across
+        optimizer-state layouts (see the note on :meth:`restore`) -- the
+        right entry point for stage grafting, which never needs opt_state.
+        """
+        step = step if step is not None else self.latest_step()
+        if step is None:
+            raise FileNotFoundError(f"no checkpoint found in {self.directory}")
+        raw = self.manager.restore(step)
+        return raw["params"]
+
     def restore(self, state_like: Any, step: Optional[int] = None) -> Any:
         """Restore into the structure of ``state_like`` (abstract or concrete).
 
