@@ -158,7 +158,7 @@ def main():
                     default=True,
                     help="hold the whole prepared set in HBM and ship only "
                          "per-step indices (see the relay-leak note)")
-    ap.add_argument("--flow_occ_impl", default="splat",
+    ap.add_argument("--flow_occ_impl", default="splat_nn",
                     choices=["splat", "splat_nn", "diff_weights"],
                     help="flow-mode occlusion model (A/B: PARITY.md)")
     ap.add_argument("--enable_losses", default="",

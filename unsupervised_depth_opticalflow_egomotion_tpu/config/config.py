@@ -75,11 +75,13 @@ class Config:
     # planes where it measures faster (>=128x416; hardware table in PERF.md),
     # XLA elsewhere; value and gradient pinned against the XLA form in
     # tests/test_pallas_kernels.py.
-    flow_occ_impl: str = "splat"  # flow-mode occlusion: "splat" (live
-    # forward-splat scheme) | "splat_nn" (single-tap nearest splat; 1/4 the
-    # scatter rows, same mask away from boundaries) | "diff_weights"
-    # (faithful model_flow.py soft weights; parity-anchored,
-    # known-degenerate -- see joint.py)
+    flow_occ_impl: str = "splat_nn"  # flow-mode occlusion:
+    # "splat_nn" (default: single-tap nearest forward splat; 1/4 the scatter
+    # rows of "splat" -> flow train step 31.5 -> 67.3 fps/chip, equal
+    # learning in the synthetic A/B: EPE 10.16 vs 10.03 at 3k steps,
+    # TRAINING.md) | "splat" (4-tap bilinear forward splat; soft boundary
+    # mask values) | "diff_weights" (faithful model_flow.py soft weights;
+    # parity-anchored, known-degenerate -- see joint.py)
     decode_cache_bytes: int = 2 << 30  # host decoded-PNG cache budget (0 = off)
     grad_clip_norm: float = 0.0  # optax global-norm gradient clip (0 = off;
     # the reference has none -- an opt-in stabilizer for from-scratch stages)

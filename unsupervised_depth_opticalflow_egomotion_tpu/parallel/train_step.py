@@ -217,8 +217,15 @@ def make_train_step(
     cfg: Config,
     tx: optax.GradientTransformation,
     mesh: Optional[Mesh] = None,
+    unjitted: bool = False,
 ):
-    """Build the jitted train step. With a mesh, shards batch over 'data'."""
+    """Build the jitted train step. With a mesh, shards batch over 'data'.
+
+    ``unjitted=True`` returns the raw python step for callers that embed it
+    in a larger jitted program (e.g. a lax.scan multi-step loop that
+    amortizes per-dispatch overhead; scripts/train_synth_long.py
+    --scan_steps).
+    """
     weights = loss_weights(cfg)
 
     def train_step(state: TrainState, batch, rng):
@@ -247,6 +254,8 @@ def make_train_step(
         )
         return new_state, metrics
 
+    if unjitted:
+        return train_step
     if mesh is None:
         return jax.jit(train_step, donate_argnums=(0,))
 
