@@ -159,7 +159,7 @@ def main():
                     help="hold the whole prepared set in HBM and ship only "
                          "per-step indices (see the relay-leak note)")
     ap.add_argument("--flow_occ_impl", default="splat_nn",
-                    choices=["splat", "splat_nn", "diff_weights"],
+                    choices=["splat", "splat_nn", "splat_nn_half", "diff_weights"],
                     help="flow-mode occlusion model (A/B: PARITY.md)")
     ap.add_argument("--enable_losses", default="",
                     help="comma list from {triangle,pnp,eight_point,"

@@ -85,3 +85,25 @@ class TestNearestSplat:
         nn = np.asarray(occlusion_mask_from_flow(jnp.asarray(flow), "nearest"))
         assert nn[0, :, w // 2].min() == 1.0
         assert (nn == 0).sum() > 0
+
+    def test_half_grid_mask_tracks_full_on_smooth_flow(self):
+        # smooth (realistic) flows: the half-grid mask agrees with the
+        # full-grid nearest mask away from boundaries
+        h, w = 128, 128
+        yy, xx = np.meshgrid(
+            np.arange(h, dtype=np.float32), np.arange(w, dtype=np.float32),
+            indexing="ij",
+        )
+        flow = jnp.asarray(
+            np.stack([5.0 + 4.0 * xx / w, -3.0 + 2.0 * yy / h], -1)[None]
+        )
+        mh = np.asarray(occlusion_mask_from_flow(flow, "nearest_half"))
+        mn = np.asarray(occlusion_mask_from_flow(flow, "nearest"))
+        assert mh.shape == mn.shape
+        assert (np.round(mh) == np.round(mn)).mean() > 0.9
+        # small planes fall back to the full-grid splat (exact match)
+        small = jnp.asarray(np.random.RandomState(0).randn(1, 16, 16, 2), jnp.float32)
+        np.testing.assert_array_equal(
+            np.asarray(occlusion_mask_from_flow(small, "nearest_half")),
+            np.asarray(occlusion_mask_from_flow(small, "nearest")),
+        )

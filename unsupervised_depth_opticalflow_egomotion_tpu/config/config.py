@@ -80,7 +80,9 @@ class Config:
     # rows of "splat" -> flow train step 31.5 -> 67.3 fps/chip, equal
     # learning in the synthetic A/B: EPE 10.16 vs 10.03 at 3k steps,
     # TRAINING.md) | "splat" (4-tap bilinear forward splat; soft boundary
-    # mask values) | "diff_weights" (faithful model_flow.py soft weights;
+    # mask values) | "splat_nn_half" (nearest splat on a half-res grid for
+    # large planes; 1/16 the scatter rows of "splat") | "diff_weights"
+    # (faithful model_flow.py soft weights;
     # parity-anchored, known-degenerate -- see joint.py)
     decode_cache_bytes: int = 2 << 30  # host decoded-PNG cache budget (0 = off)
     grad_clip_norm: float = 0.0  # optax global-norm gradient clip (0 = off;

@@ -240,7 +240,10 @@ class JointModel(nn.Module):
         # center->side pairs); pixels receiving no mass are occluded. The
         # mask is geometric, direction-independent, and all-ones at the
         # zero-flow init -- a natural warm start.
-        occ_taps = "nearest" if self.flow_occ_impl == "splat_nn" else "bilinear"
+        occ_taps = {
+            "splat_nn": "nearest",
+            "splat_nn_half": "nearest_half",
+        }.get(self.flow_occ_impl, "bilinear")
         occ_fwd = [occlusion_mask_from_flow(-f, occ_taps) for f in flows_fwd]
         occ_bwd = [occlusion_mask_from_flow(-f, occ_taps) for f in flows_bwd]
         valid_fwd = [

@@ -108,10 +108,21 @@ def occlusion_mask_from_flow(flow: jax.Array, taps: str = "bilinear") -> jax.Arr
 
     Mirrors the reference's intended get_occlusion_mask_from_flow
     (model_flow.py:33-39): splatted mass clamped to [0, 1]; ~0 = occluded.
-    ``taps="nearest"`` uses single-tap coverage (flow_occ_impl="splat_nn").
+    ``taps="nearest"`` uses single-tap coverage (flow_occ_impl="splat_nn");
+    ``taps="nearest_half"`` additionally splats planes larger than 64x64 on
+    a half-resolution grid (2x2-mean flow / 2) and nearest-upsamples the
+    mask -- 1/4 the scatter rows for a boundary-coarser mask.
     """
     b, h, w, _ = flow.shape
-    if taps == "nearest":
+    if taps == "nearest_half" and h % 2 == 0 and w % 2 == 0 and h * w > 4096:
+        fhalf = (
+            flow.reshape(b, h // 2, 2, w // 2, 2, 2).mean(axis=(2, 4)) * 0.5
+        )
+        mass = forward_splat_nearest_mass(fhalf)
+        mask = jnp.clip(mass, 0.0, 1.0)
+        mask = jnp.repeat(jnp.repeat(mask, 2, axis=1), 2, axis=2)
+        return jax.lax.stop_gradient(mask)
+    if taps in ("nearest", "nearest_half"):
         mass = forward_splat_nearest_mass(flow)
     else:
         ones = jnp.ones((b, h, w, 1), flow.dtype)
