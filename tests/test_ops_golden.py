@@ -325,3 +325,33 @@ def test_flow_normalization_zero_flow_grad_finite():
     v, g = jax.value_and_grad(loss)(x)
     assert np.isfinite(float(v))
     assert bool(jnp.all(jnp.isfinite(g))), "flow_normalization grad not finite"
+
+
+def test_disp_smooth_folded_matches_naive():
+    """The folded coarse-grid disp-smooth evaluation equals the direct
+    upsample-then-difference form (values AND disp gradients), for the
+    factor-2 and factor-4 scales the training graph uses."""
+    import jax
+
+    from unsupervised_depth_opticalflow_egomotion_tpu.ops import losses as L
+
+    rng = np.random.RandomState(3)
+    img = jnp.asarray(rng.rand(2, 32, 48, 3).astype(np.float32))
+    disps = [
+        jnp.asarray(rng.rand(2, 32 // n, 48 // n, 1).astype(np.float32))
+        for n in (1, 2, 4)
+    ]
+
+    def folded(*ds):
+        return jnp.sum(L.disp_smooth_loss(img, list(ds)))
+
+    def naive(*ds):
+        return jnp.sum(L._disp_smooth_naive(img, list(ds)))
+
+    vf, gf = jax.value_and_grad(folded, argnums=(0, 1, 2))(*disps)
+    vn, gn = jax.value_and_grad(naive, argnums=(0, 1, 2))(*disps)
+    np.testing.assert_allclose(np.asarray(vf), np.asarray(vn), rtol=2e-6)
+    for a, b in zip(gf, gn):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=2e-6
+        )

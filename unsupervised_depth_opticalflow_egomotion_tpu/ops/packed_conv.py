@@ -312,16 +312,19 @@ def packed_conv_reflect_rect(
 def repack_22_to_24(xp: jax.Array) -> jax.Array:
     """(2,2)-packed [B,H,W,4C] -> (2,4)-packed [B,H,W/2,8C] of the same
     logical tensor: new w-block q covers logical cols 4q..4q+3 = old blocks
-    2q (dx 0,1) then 2q+1 (dx 0,1); pure strided slices + one concat."""
+    2q (dx 0,1) then 2q+1 (dx 0,1), channel order (dy, we, dx, c).
+
+    Single reshape/transpose/reshape: an earlier concat-of-16-strided-slices
+    form had its transpose lowered by XLA as a serialized 104-trip scatter
+    loop (8 copies, ~8 ms/step of dynamic-update-slice + predicate fusions in
+    the step profile); this form's backward is one transpose."""
     b, hp, wp_, c4 = xp.shape
     c = c4 // 4
-    parts = []
-    for dy in range(2):
-        for we in (0, 1):  # even / odd old w-blocks
-            for dx in range(2):
-                o = (dy * 2 + dx) * c
-                parts.append(xp[:, :, we::2, o : o + c])
-    return jnp.concatenate(parts, axis=-1)
+    # W index = 2q + we; channels = (dy, dx, c)
+    x = xp.reshape(b, hp, wp_ // 2, 2, 2, 2, c)
+    # (q, we, dy, dx, c) -> (q, dy, we, dx, c)
+    x = x.transpose(0, 1, 2, 4, 3, 5, 6)
+    return x.reshape(b, hp, wp_ // 2, 8 * c)
 
 
 def packed_upsample2x_bilinear_24(xp: jax.Array) -> jax.Array:
