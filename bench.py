@@ -55,8 +55,15 @@ def main():
 
     import os as _os
     batch_size = int(_os.environ.get("BENCH_BATCH", "8"))
+    # BENCH_LOSS_SCALE=1 measures the half-resolution loss dial
+    # (Config.loss_base_scale; quality A/B in TRAINING.md). Default 0 =
+    # the reference's full-resolution objective.
+    loss_scale = int(_os.environ.get("BENCH_LOSS_SCALE", "0"))
     h, w = 256, 832
-    cfg = Config(img_hw=(h, w), mode="geom", compute_dtype="bfloat16", batch_size=batch_size)
+    cfg = Config(
+        img_hw=(h, w), mode="geom", compute_dtype="bfloat16",
+        batch_size=batch_size, loss_base_scale=loss_scale,
+    )
 
     model, state = init_state(cfg, jax.random.PRNGKey(0))
     tx = make_optimizer(cfg, state.params)
@@ -104,8 +111,10 @@ def main():
 
     steps_per_s = iters / dt
     fps_per_chip = steps_per_s * batch_size / max(1, jax.local_device_count())
+    tag = f", loss_scale={loss_scale}" if loss_scale else ""
     result = {
-        "metric": "frames/sec/chip joint depth+flow+pose fwd-bwd (b8 256x832 bf16)",
+        "metric": "frames/sec/chip joint depth+flow+pose fwd-bwd "
+        f"(b8 256x832 bf16{tag})",
         "value": round(fps_per_chip, 2),
         "unit": "frames/s/chip",
         "vs_baseline": round(fps_per_chip / BASELINE_A100_FPS, 3),

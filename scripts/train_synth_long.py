@@ -164,6 +164,8 @@ def main():
     ap.add_argument("--enable_losses", default="",
                     help="comma list from {triangle,pnp,eight_point,"
                          "depth_ssim,depth_consis} to switch on")
+    ap.add_argument("--loss_base_scale", type=int, default=0,
+                    help="half-resolution loss dial (A/B: TRAINING.md)")
     args = ap.parse_args()
 
     if not os.path.exists(os.path.join(args.data, "train.txt")):
@@ -190,6 +192,7 @@ def main():
         num_iterations=args.steps,
         model_dir=args.out,
         flow_occ_impl=args.flow_occ_impl,
+        loss_base_scale=args.loss_base_scale,
         **{
             f"enable_{k.strip()}": True
             for k in args.enable_losses.split(",")

@@ -282,6 +282,10 @@ def main():
     parser.add_argument("--fix_pose", action="store_true", default=None)
     parser.add_argument("--num_devices", type=int, default=None)
     parser.add_argument("--compute_dtype", default=None)
+    parser.add_argument("--loss_base_scale", type=int, default=None,
+                        help="half-resolution loss dial: base the loss "
+                             "pyramid this many octaves below the input "
+                             "(0 = reference behaviour; PERF.md/TRAINING.md)")
     # multi-host launch (one process per host; TPU pods autodetect the
     # coordinator when --coordinator_address is omitted)
     parser.add_argument("--coordinator_address", default=None)

@@ -84,6 +84,12 @@ class Config:
     # large planes; 1/16 the scatter rows of "splat") | "diff_weights"
     # (faithful model_flow.py soft weights;
     # parity-anchored, known-degenerate -- see joint.py)
+    loss_base_scale: int = 0  # half-resolution loss dial: base the whole loss
+    # pyramid this many octaves below the input resolution. Networks and
+    # inference are unchanged (full-res disp/flow heads remain); training
+    # losses, masks and warp gathers evaluate on the downscaled grid. 0 =
+    # reference behaviour; 1 measured as a quality/speed dial (PERF.md,
+    # TRAINING.md). Requires loss_base_scale + num_scales <= 4.
     decode_cache_bytes: int = 2 << 30  # host decoded-PNG cache budget (0 = off)
     grad_clip_norm: float = 0.0  # optax global-norm gradient clip (0 = off;
     # the reference has none -- an opt-in stabilizer for from-scratch stages)

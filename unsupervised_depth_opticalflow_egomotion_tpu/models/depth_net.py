@@ -144,6 +144,12 @@ class DepthDecoder(nn.Module):
 
     num_scales: int = 3
     packed: bool = True
+    # Extra disp heads at scales [num_scales, num_scales+extra): used by the
+    # half-resolution loss dial (JointModel.loss_base_scale), whose loss
+    # pyramid is based one octave down and so needs one coarser disp. The
+    # extra heads get NEW parameter names (ReflectConv3x3_x{scale}) so the
+    # default tree -- and checkpoint grafting by name -- is unchanged.
+    extra_head_scales: int = 0
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -189,11 +195,14 @@ class DepthDecoder(nn.Module):
                 dtype=self.dtype,
             )(x)
             idx += 1
-            if scale < self.num_scales:
+            if scale < self.num_scales + self.extra_head_scales:
+                name = (
+                    f"ReflectConv3x3_{self.num_scales - 1 - scale}"
+                    if scale < self.num_scales
+                    else f"ReflectConv3x3_x{scale}"
+                )
                 head = ReflectConv3x3(
-                    1, packed=is_packed,
-                    name=f"ReflectConv3x3_{self.num_scales - 1 - scale}",
-                    dtype=self.dtype,
+                    1, packed=is_packed, name=name, dtype=self.dtype,
                 )
                 disp = head(x)
                 if is_packed == "24":
@@ -201,7 +210,7 @@ class DepthDecoder(nn.Module):
                 elif is_packed:
                     disp = depth_to_space(disp)
                 outputs[scale] = nn.sigmoid(disp)
-        return [outputs[s] for s in range(self.num_scales)]
+        return [outputs[s] for s in range(self.num_scales + self.extra_head_scales)]
 
 
 class DepthNet(nn.Module):
@@ -209,6 +218,7 @@ class DepthNet(nn.Module):
 
     num_scales: int = 3
     packed: bool = True
+    extra_head_scales: int = 0
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -219,5 +229,6 @@ class DepthNet(nn.Module):
         )
         features = ResNet18Encoder(dtype=self.dtype)(img, train)
         return DepthDecoder(
-            num_scales=self.num_scales, packed=self.packed, dtype=self.dtype
+            num_scales=self.num_scales, packed=self.packed,
+            extra_head_scales=self.extra_head_scales, dtype=self.dtype,
         )(features)

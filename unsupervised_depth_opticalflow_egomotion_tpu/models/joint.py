@@ -35,7 +35,7 @@ import jax.numpy as jnp
 from ..ops import losses as L
 from ..ops import masks as M
 from ..ops.geometry import disp2depth, fundamental_from_pose, projection_matrices
-from ..ops.interp import image_pyramid
+from ..ops.interp import image_pyramid, resize_area
 from ..ops.inverse_warp_multi import multiscale_recon_dynamic, multiscale_reconstruction
 from ..ops.pnp import batched_pnp
 from ..ops.ransac import batched_ransac_fundamental
@@ -115,6 +115,15 @@ class JointModel(nn.Module):
     # internals in tests/test_parity_flow.py; known-degenerate as a
     # training objective, kept for measured A/B comparison).
     flow_occ_impl: str = "splat"
+    # Half-resolution loss dial: base the WHOLE loss pyramid loss_base_scale
+    # octaves below the input resolution. The networks still run at full
+    # input resolution (so inference is unchanged and the flow/disp heads see
+    # the same receptive fields), but every warp gather, mask, and loss term
+    # evaluates on the downscaled grid: at 1 the full-res warp gathers and the
+    # full-res decoder head vanish from the train step (XLA prunes the unused
+    # scale-0 disp head). A measured quality/speed dial -- records in PERF.md
+    # and TRAINING.md; the reference always trains at loss scale 0.
+    loss_base_scale: int = 0
     dtype: Any = jnp.float32
 
     def setup(self):
@@ -125,8 +134,16 @@ class JointModel(nn.Module):
         depth_cls = nn.remat(DepthNet, static_argnums=(2,)) if self.remat else DepthNet
         fpyr_cls = nn.remat(FeaturePyramid) if self.remat else FeaturePyramid
         pwc_cls = nn.remat(PWCDecoder, static_argnums=(3,)) if self.remat else PWCDecoder
+        if self.loss_base_scale and self.loss_base_scale + self.num_scales > 4:
+            raise ValueError(
+                "loss_base_scale + num_scales must be <= 4 (the PWC decoder "
+                f"emits 4 flow scales); got {self.loss_base_scale} + {self.num_scales}"
+            )
         self.depth_net = depth_cls(
-            num_scales=self.num_scales, packed=self.packed_convs, dtype=self.dtype
+            num_scales=self.num_scales,
+            packed=self.packed_convs,
+            extra_head_scales=self.loss_base_scale,
+            dtype=self.dtype,
         )
         self.pose_net = PoseNet(
             num_input_frames=self.num_input_frames, dtype=self.dtype
@@ -163,7 +180,8 @@ class JointModel(nn.Module):
         # fpyramid/pwc stacks are conv+LeakyReLU only (asserted by
         # tests/test_models.py: no batch_stats collection in this path).
         del K_ms, K_inv_ms, rng, train
-        raw = split_stack_raw(images)
+        ls = self.loss_base_scale
+        raw = split_stack_raw(images) if ls == 0 else None
         img_l, img, img_r = split_stack(images, self.dtype)
         hw = (img.shape[1], img.shape[2])
 
@@ -173,10 +191,15 @@ class JointModel(nn.Module):
         feat_l, feat, feat_r = zip(*(_split3(f) for f in feats_all))
         feat_cc = tuple(jnp.concatenate([c, c], axis=0) for c in feat)
         feat_lr = tuple(jnp.concatenate(p, axis=0) for p in zip(feat_l, feat_r))
-        flows_both = self.pwc(feat_cc, feat_lr, hw)
+        flows_both = self.pwc(feat_cc, feat_lr, hw)[ls:]
         flows_bwd = [f[: img.shape[0]] for f in flows_both]
         flows_fwd = [f[img.shape[0] :] for f in flows_both]
 
+        if ls:
+            lhw = (hw[0] >> ls, hw[1] >> ls)
+            img_l = resize_area(img_l, lhw)
+            img = resize_area(img, lhw)
+            img_r = resize_area(img_r, lhw)
         # The flow objective uses area pyramids (model_flow.py:58-64).
         n = len(flows_fwd)
         img_l_pyr = image_pyramid(img_l, n, mode="area")
@@ -273,24 +296,30 @@ class JointModel(nn.Module):
     # ------------------------------------------------------------ depth mode
     def forward_depth(self, images, K_ms, K_inv_ms, train: bool = True):
         del K_inv_ms
-        K = K_ms[:, 0]
+        ls = self.loss_base_scale
+        K = K_ms[:, ls]
         img_l, img, img_r = split_stack(images, self.dtype)
-
-        img_pyr = image_pyramid(img, self.num_scales)
-        img_l_pyr = image_pyramid(img_l, self.num_scales)
-        img_r_pyr = image_pyramid(img_r, self.num_scales)
 
         # Single 3B-batch depth pass (BatchNorm statistics are computed over
         # the frame triplet jointly rather than per-frame -- a deliberate
         # batching of the reference's three separate calls).
         disp_all = self.depth_net(
             jnp.concatenate([img_l, img, img_r], axis=0), train
-        )
+        )[ls : ls + self.num_scales]
         disp_l, disp, disp_r = zip(*(_split3(d) for d in disp_all))
         disp_l, disp, disp_r = list(disp_l), list(disp), list(disp_r)
 
         poses = self.pose_net(jnp.concatenate([img_l, img, img_r], axis=-1))
         pose_fwd, pose_bwd = poses[:, 1], poses[:, 0]
+
+        if ls:
+            lhw = (img.shape[1] >> ls, img.shape[2] >> ls)
+            img_l = resize_area(img_l, lhw)
+            img = resize_area(img, lhw)
+            img_r = resize_area(img_r, lhw)
+        img_pyr = image_pyramid(img, self.num_scales)
+        img_l_pyr = image_pyramid(img_l, self.num_scales)
+        img_r_pyr = image_pyramid(img_r, self.num_scales)
 
         rec_l, valid_l, pdepth_l, cdepth_l = multiscale_reconstruction(
             img_l, K, disp, disp_l, pose_bwd, sample_ref_depth=self.enable_depth_consis
@@ -329,20 +358,22 @@ class JointModel(nn.Module):
     def forward_geom(
         self, images, K_ms, K_inv_ms, rng=None, train: bool = True, with_masks: bool = False
     ):
-        K, K_inv = K_ms[:, 0], K_inv_ms[:, 0]
-        raw = split_stack_raw(images)
+        ls = self.loss_base_scale
+        # K at the loss base scale: the loader's K pyramid entry ls is the
+        # intrinsics of the (H/2^ls, W/2^ls) grid every loss-side quantity
+        # lives on when the half-resolution dial is set.
+        K, K_inv = K_ms[:, ls], K_inv_ms[:, ls]
+        raw = split_stack_raw(images) if ls == 0 else None
         img_l, img, img_r = split_stack(images, self.dtype)
         hw = (img.shape[1], img.shape[2])
 
-        img_pyr = image_pyramid(img, self.num_scales)
-        img_l_pyr = image_pyramid(img_l, self.num_scales)
-        img_r_pyr = image_pyramid(img_r, self.num_scales)
-
         # Depth on all three frames in one 3B-batch pass (BN stats over the
         # triplet jointly -- deliberate batching of the reference's 3 calls).
+        # With ls > 0 the pyramid is sliced one octave down; the finer heads
+        # feed nothing and XLA prunes their decoder segment from the step.
         disp_all = self.depth_net(
             jnp.concatenate([img_l, img, img_r], axis=0), train
-        )
+        )[ls : ls + self.num_scales]
         disp_l, disp, disp_r = zip(*(_split3(d) for d in disp_all))
         disp_l, disp, disp_r = list(disp_l), list(disp), list(disp_r)
 
@@ -358,8 +389,19 @@ class JointModel(nn.Module):
         feat_lr = tuple(jnp.concatenate(p, axis=0) for p in zip(feat_l, feat_r))
         flows_both = self.pwc(feat_cc, feat_lr, hw)
         b = img.shape[0]
-        flows_bwd = [f[:b] for f in flows_both[: self.num_scales]]
-        flows_fwd = [f[b:] for f in flows_both[: self.num_scales]]
+        flows_bwd = [f[:b] for f in flows_both[ls : ls + self.num_scales]]
+        flows_fwd = [f[b:] for f in flows_both[ls : ls + self.num_scales]]
+
+        # Loss-side frames at the base scale; every downstream pyramid, warp,
+        # mask and loss is scale-relative, so rebasing here rebases them all.
+        if ls:
+            lhw = (hw[0] >> ls, hw[1] >> ls)
+            img_l = resize_area(img_l, lhw)
+            img = resize_area(img, lhw)
+            img_r = resize_area(img_r, lhw)
+        img_pyr = image_pyramid(img, self.num_scales)
+        img_l_pyr = image_pyramid(img_l, self.num_scales)
+        img_r_pyr = image_pyramid(img_r, self.num_scales)
 
         # Both warp directions are batched through the heavy gather ops as one
         # 2B problem (bwd first, fwd second) -- half the gather kernels at

@@ -62,6 +62,7 @@ def build_model(cfg: Config) -> JointModel:
         packed_convs=cfg.packed_convs,
         corr_impl=cfg.pwc_corr,
         flow_occ_impl=cfg.flow_occ_impl,
+        loss_base_scale=cfg.loss_base_scale,
         dtype=dtype,
     )
 
