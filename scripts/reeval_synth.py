@@ -49,7 +49,7 @@ def main():
     model, state = init_state(cfg, jax.random.PRNGKey(0))
     mgr = CheckpointManager(args.ckpt)
     eval_model = build_model(cfg.replace(compute_dtype="float32"))
-    flow_fn_v, disp_fn_v, _ = eval_tasks.make_inference_fns(eval_model)
+    flow_fn_v, disp_fn_v, pose_fn_v = eval_tasks.make_inference_fns(eval_model)
     eval_set = load_eval_set(args.data)
 
     steps = args.steps or sorted(
@@ -62,6 +62,7 @@ def main():
             eval_set,
             lambda a, b: flow_fn_v(variables, a, b),
             lambda a: disp_fn_v(variables, a),
+            pose_fn=lambda x: pose_fn_v(variables, x),
         )
         print(json.dumps({"ckpt": args.ckpt, "step": step, "eval": m}), flush=True)
 

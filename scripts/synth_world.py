@@ -370,6 +370,8 @@ def generate(out_dir, n_train=240, n_eval=8, hw=(256, 832), seed=0, n_movers=0):
                 dyn_mask=dyn,
                 R_fwd=R_fwd,
                 t_fwd=t_fwd,
+                R_bwd=R_bwd,
+                t_bwd=t_bwd,
                 K=K,
             )
     with open(os.path.join(out_dir, "train.txt"), "w") as f:

@@ -45,6 +45,10 @@ from unsupervised_depth_opticalflow_egomotion_tpu.data import (
 from unsupervised_depth_opticalflow_egomotion_tpu.evaluation.depth_metrics import (
     compute_errors,
 )
+from unsupervised_depth_opticalflow_egomotion_tpu.evaluation import (
+    compute_snippet_pose_error,
+)
+from unsupervised_depth_opticalflow_egomotion_tpu.ops.geometry import pose_vec2mat
 from unsupervised_depth_opticalflow_egomotion_tpu.parallel import (
     build_model,
     init_state,
@@ -61,13 +65,56 @@ def load_eval_set(data_dir):
     return out
 
 
-def synth_eval(eval_set, flow_fn, disp_fn, do_flow=True, do_depth=True):
-    """Flow EPE + depth metrics against the generator's exact GT.
+def _snippet_from_warps(warp_mats):
+    """3-frame snippet camera poses in frame-0 coords from center->cam_k
+    warp transforms [3,3,4] (X_camk = R X_c + t).
+
+    Mirrors the reference's pose-eval chain (test.py:153-165 /
+    eval_tasks.test_pose_odom): invert each warp to the camera's pose in the
+    center frame, then re-express relative to the first frame.
+    """
+    rot = np.linalg.inv(warp_mats[:, :, :3])
+    tr = -rot @ warp_mats[:, :, -1:]
+    mats = np.concatenate([rot, tr], axis=-1)
+    first_inv = warp_mats[0]
+    final = first_inv[:, :3] @ mats
+    final[:, :, -1:] += first_inv[:, -1:]
+    return final
+
+
+def _zero_motion_error(gt_snip):
+    """ATE/RE of the all-identity prediction (the scale alignment is
+    degenerate at zero translation: s*0 = 0 whatever s, so ATE is just the
+    GT position norm)."""
+    n = gt_snip.shape[0]
+    ate = float(np.linalg.norm(gt_snip[:, :, -1].reshape(-1))) / n
+    re = 0.0
+    for g in gt_snip:
+        R = g[:, :3]
+        s = np.linalg.norm(
+            [R[0, 1] - R[1, 0], R[1, 2] - R[2, 1], R[0, 2] - R[2, 0]]
+        )
+        c = np.trace(R) - 1
+        re += np.arctan2(s, c)
+    return ate, re / n
+
+
+def synth_eval(eval_set, flow_fn, disp_fn, do_flow=True, do_depth=True,
+               pose_fn=None):
+    """Flow EPE + depth metrics + snippet pose ATE/RE vs the exact GT.
 
     Worlds generated with --n_movers carry noc_mask (visible in the target
     view) and dyn_mask (independently-moving pixels); those add epe_noc and
-    epe_dyn -- the KITTI-style noc/occ + moving-region breakdown."""
+    epe_dyn -- the KITTI-style noc/occ + moving-region breakdown.
+
+    With ``pose_fn`` (and a world whose eval npz carries R_bwd/t_bwd --
+    regenerate with the round-4 scripts/synth_world.py) also scores the
+    3-frame-snippet scale-aligned ATE/RE of the PoseNet against the
+    generator's exact ego-motion, mirroring the reference's 5-frame KITTI
+    odometry protocol (test.py:135-194), plus the zero-motion baseline
+    (identity poses) for reference."""
     epes, epes_noc, epes_dyn, absrel, a1 = [], [], [], [], []
+    ates, res, ates_zero, res_zero = [], [], [], []
     for s in eval_set:
         img_c = s["img_c"].astype(np.float32) / 255.0
         img_r = s["img_r"].astype(np.float32) / 255.0
@@ -108,6 +155,33 @@ def synth_eval(eval_set, flow_fn, disp_fn, do_flow=True, do_depth=True):
             errs = compute_errors(gd, pd)
             absrel.append(float(errs[0]))
             a1.append(float(errs[4]))
+
+        if pose_fn is not None and "R_bwd" in s:
+            img_l = s["img_l"].astype(np.float32) / 255.0
+            stacked = np.concatenate([img_l, img_c, img_r], axis=-1)
+            pvecs = np.asarray(pose_fn(stacked[None]))[0]  # [2,6]: bwd, fwd
+            snippet = np.stack(
+                [pvecs[0], np.zeros(6, np.float32), pvecs[1]]
+            )
+            pred_warps = np.asarray(
+                pose_vec2mat(jax.numpy.asarray(snippet))
+            ).astype(np.float64)
+            gt_warps = np.stack(
+                [
+                    np.concatenate([s["R_bwd"], s["t_bwd"].reshape(3, 1)], -1),
+                    np.eye(3, 4),
+                    np.concatenate([s["R_fwd"], s["t_fwd"].reshape(3, 1)], -1),
+                ]
+            )
+            gt_snip = _snippet_from_warps(gt_warps)
+            ate, re = compute_snippet_pose_error(
+                gt_snip, _snippet_from_warps(pred_warps)
+            )
+            ate0, re0 = _zero_motion_error(gt_snip)
+            ates.append(float(ate))
+            res.append(float(re))
+            ates_zero.append(float(ate0))
+            res_zero.append(float(re0))
     out = {}
     if epes:
         out["flow_epe"] = float(np.mean(epes))
@@ -118,6 +192,11 @@ def synth_eval(eval_set, flow_fn, disp_fn, do_flow=True, do_depth=True):
     if absrel:
         out["depth_absrel"] = float(np.mean(absrel))
         out["depth_a1"] = float(np.mean(a1))
+    if ates:
+        out["pose_ate"] = float(np.mean(ates))
+        out["pose_re"] = float(np.mean(res))
+        out["pose_ate_zero"] = float(np.mean(ates_zero))
+        out["pose_re_zero"] = float(np.mean(res_zero))
     return out
 
 
@@ -166,7 +245,28 @@ def main():
                          "depth_ssim,depth_consis} to switch on")
     ap.add_argument("--loss_base_scale", type=int, default=0,
                     help="half-resolution loss dial (A/B: TRAINING.md)")
+    ap.add_argument("--flow_occ_switch_step", type=int, default=0,
+                    help="flow mode: switch to flow_occ_impl=splat at this "
+                         "step (occlusion schedule, config.flow_occ_switch_step)")
+    ap.add_argument("--set", action="append", default=[],
+                    help="extra Config overrides, key=value (repeatable); "
+                         "values parsed as int/float/bool when they look it")
     args = ap.parse_args()
+
+    def _parse_val(v):
+        if v.lower() in ("true", "false"):
+            return v.lower() == "true"
+        for cast in (int, float):
+            try:
+                return cast(v)
+            except ValueError:
+                pass
+        return v
+
+    extra = {}
+    for kv in args.set:
+        k, _, v = kv.partition("=")
+        extra[k] = _parse_val(v)
 
     if not os.path.exists(os.path.join(args.data, "train.txt")):
         import sys
@@ -193,11 +293,13 @@ def main():
         model_dir=args.out,
         flow_occ_impl=args.flow_occ_impl,
         loss_base_scale=args.loss_base_scale,
+        flow_occ_switch_step=args.flow_occ_switch_step,
         **{
             f"enable_{k.strip()}": True
             for k in args.enable_losses.split(",")
             if k.strip()
         },
+        **extra,
     )
     model, state = init_state(cfg, jax.random.PRNGKey(0))
     ckpt = CheckpointManager(os.path.join(args.out, "ckpt"))
@@ -302,7 +404,7 @@ def main():
     ) if device_loader is None else device_loader
 
     eval_model = build_model(cfg.replace(compute_dtype="float32"))
-    flow_fn_v, disp_fn_v, _ = eval_tasks.make_inference_fns(eval_model)
+    flow_fn_v, disp_fn_v, pose_fn_v = eval_tasks.make_inference_fns(eval_model)
 
     mask_fn = None
     if args.mode == "geom":
@@ -326,9 +428,19 @@ def main():
     step = resumed_step
     t_last = time.time()
     last_batch = None
+    occ_switch = (
+        cfg.flow_occ_switch_step
+        if cfg.mode == "flow" and cfg.flow_occ_impl != "splat"
+        else 0
+    )
     for batch_np in loader:
         if step >= args.steps:
             break
+        if occ_switch and step >= occ_switch:
+            occ_switch = 0
+            cfg_tail = cfg.replace(flow_occ_impl="splat")
+            step_fn = make_train_step(build_model(cfg_tail), cfg_tail, tx)
+            print(f"[{step}] occlusion schedule: switching to flow_occ_impl=splat")
         if args.max_steps_per_proc and step - resumed_step >= args.max_steps_per_proc:
             print(f"[recycle] reached {args.max_steps_per_proc} steps this "
                   f"process at step {step}; checkpointing and exiting")
@@ -361,6 +473,11 @@ def main():
                 lambda a: disp_fn_v(variables, a),
                 do_flow=args.mode in ("flow", "geom"),
                 do_depth=args.mode in ("depth", "geom"),
+                pose_fn=(
+                    (lambda x: pose_fn_v(variables, x))
+                    if args.mode in ("depth", "geom")
+                    else None
+                ),
             )
             rec = {"step": step, "eval": m}
             if mask_fn is not None:

@@ -8,11 +8,16 @@ import pytest
 from unsupervised_depth_opticalflow_egomotion_tpu.evaluation import (
     compute_errors,
     compute_snippet_pose_error,
+    disp_to_flowfile,
     eval_depth,
     eval_flow_avg,
     flow_to_image,
+    read_disp_png,
+    read_flo,
     read_flow_png,
     umeyama_alignment,
+    write_disp_png,
+    write_flo,
     write_flow_png,
 )
 from unsupervised_depth_opticalflow_egomotion_tpu.evaluation.odom_eval import KittiEvalOdom
@@ -86,6 +91,35 @@ class TestFlowMetrics:
         img = flow_to_image(flow)
         assert img.shape == (20, 30, 3) and img.dtype == np.uint8
 
+    def test_flo_roundtrip(self, tmp_path):
+        flow = np.random.RandomState(1).randn(17, 23, 2).astype(np.float32) * 20
+        path = os.path.join(tmp_path, "t.flo")
+        write_flo(flow, path)
+        back = read_flo(path)
+        np.testing.assert_array_equal(back, flow)
+
+    def test_flo_bad_magic_rejected(self, tmp_path):
+        path = os.path.join(tmp_path, "bad.flo")
+        with open(path, "wb") as f:
+            np.asarray([1.0], np.float32).tofile(f)
+        with pytest.raises(ValueError):
+            read_flo(path)
+
+    def test_disp_png_roundtrip(self, tmp_path):
+        disp = np.random.RandomState(2).uniform(0, 200, (12, 18))
+        path = os.path.join(tmp_path, "d.png")
+        write_disp_png(disp, path)
+        back = read_disp_png(path)
+        np.testing.assert_allclose(back, disp, atol=1 / 256 + 1e-9)
+
+    def test_disp_to_flowfile(self, tmp_path):
+        disp = np.random.RandomState(3).uniform(0, 50, (9, 11)).astype(np.float32)
+        path = os.path.join(tmp_path, "d.flo")
+        disp_to_flowfile(disp, path)
+        back = read_flo(path)
+        np.testing.assert_array_equal(back[:, :, 0], disp)
+        assert np.all(back[:, :, 1] == 0)
+
 
 class TestOdomEval:
     def test_umeyama_recovers_similarity(self):
@@ -127,3 +161,47 @@ class TestOdomEval:
             scorer.load_poses(gt_txt), scorer.load_poses(res_txt)
         )
         assert t_err < 1e-9 and r_err < 1e-9
+
+    @staticmethod
+    def _straight_line_poses(n=250, step=1.0):
+        poses = {}
+        for i in range(n):
+            P = np.eye(4)
+            P[2, 3] = i * step
+            poses[i] = P
+        return poses
+
+    def test_scale_alignment_mode(self):
+        # Prediction is the GT trajectory at half scale; the translation-only
+        # "scale" alignment must recover it exactly.
+        gt = self._straight_line_poses(step=1.0)
+        pred = self._straight_line_poses(step=0.5)
+        scorer = KittiEvalOdom()
+        t_err, r_err = scorer.eval_poses(gt, pred, alignment="scale")
+        assert t_err < 1e-9 and r_err < 1e-9
+
+    def test_6dof_alignment_keeps_scale_error(self):
+        # 6dof (no scale) must NOT absorb a 2x scale error.
+        gt = self._straight_line_poses(step=1.0)
+        pred = self._straight_line_poses(step=0.5)
+        scorer = KittiEvalOdom()
+        t_err, _ = scorer.eval_poses(gt, pred, alignment="6dof")
+        assert t_err > 0.1
+
+    def test_plots_written(self, tmp_path):
+        pytest.importorskip("matplotlib")
+        gt = self._straight_line_poses()
+        pred = self._straight_line_poses()
+        scorer = KittiEvalOdom()
+        scorer.eval_poses(gt, pred, plot_dir=str(tmp_path), seq="09")
+        assert os.path.exists(os.path.join(tmp_path, "sequence_09.pdf"))
+        assert os.path.exists(os.path.join(tmp_path, "errors_09.pdf"))
+
+    def test_segment_error_averaging(self):
+        gt = self._straight_line_poses()
+        pred = self._straight_line_poses()
+        scorer = KittiEvalOdom()
+        seq_err = scorer.calc_sequence_errors(gt, pred)
+        avg = scorer.compute_segment_error(seq_err)
+        assert avg[100] and avg[100][0] < 1e-9  # 100m segments exist, exact
+        assert avg[800] == []  # 250m trajectory has no 800m segments

@@ -206,11 +206,24 @@ def train(cfg: Config):
             )
             return aux
 
+    # flow-mode occlusion schedule (flow_occ_switch_step): fast splat_nn for
+    # the bulk of training, 4-tap bilinear splat for the convergence tail
+    occ_switch = (
+        cfg.flow_occ_switch_step
+        if cfg.mode == "flow" and cfg.flow_occ_impl != "splat"
+        else 0
+    )
+
     rng = jax.random.PRNGKey(cfg.seed + 1)
     step = start_step
     for batch_np in loader:
         if step >= cfg.num_iterations:
             break
+        if occ_switch and step == occ_switch:
+            cfg_tail = cfg.replace(flow_occ_impl="splat")
+            step_fn = make_train_step(build_model(cfg_tail), cfg_tail, tx, mesh=mesh)
+            if is_main:
+                print(f"[{step}] occlusion schedule: switching to flow_occ_impl=splat")
         if (
             cfg.test_interval
             and step % cfg.test_interval == 0
@@ -282,6 +295,11 @@ def main():
     parser.add_argument("--fix_pose", action="store_true", default=None)
     parser.add_argument("--num_devices", type=int, default=None)
     parser.add_argument("--compute_dtype", default=None)
+    parser.add_argument("--flow_occ_impl", default=None,
+                        choices=["splat", "splat_nn", "splat_nn_half", "diff_weights"])
+    parser.add_argument("--flow_occ_switch_step", type=int, default=None,
+                        help="flow mode: switch flow_occ_impl -> splat at this "
+                             "step (occlusion schedule; 0 = never)")
     parser.add_argument("--loss_base_scale", type=int, default=None,
                         help="half-resolution loss dial: base the loss "
                              "pyramid this many octaves below the input "

@@ -84,6 +84,11 @@ class Config:
     # large planes; 1/16 the scatter rows of "splat") | "diff_weights"
     # (faithful model_flow.py soft weights;
     # parity-anchored, known-degenerate -- see joint.py)
+    flow_occ_switch_step: int = 0  # flow-mode occlusion schedule: train with
+    # ``flow_occ_impl`` (fast splat_nn) up to this step, then switch to the
+    # 4-tap bilinear "splat" for the final-convergence tail (one recompile at
+    # the boundary). Captures splat_nn's ~2.2x throughput without its noisy
+    # late-training mask flicker (TRAINING.md flow_nn12k). 0 = no switch.
     loss_base_scale: int = 0  # half-resolution loss dial: base the whole loss
     # pyramid this many octaves below the input resolution. Networks and
     # inference are unchanged (full-res disp/flow heads remain); training
@@ -122,6 +127,8 @@ class Config:
     # geometric hyperparameters (kitti_geom.yaml:36-47)
     flow_consist_alpha: float = 0.01
     flow_consist_beta: float = 0.5
+    dyna_photo_weight: float = 2.0  # dynamic-region photometric weight
+    # (reference hard-codes 2x; the moving-region A/B dial, TRAINING.md)
     ransac_iters: int = 100
     ransac_points: int = 6000
     geometric_ratio: float = 0.3

@@ -2,7 +2,17 @@
 
 from .calib import get_scaled_intrinsic_matrix, load_intrinsics_raw
 from .depth_metrics import compute_errors, eval_depth
-from .flow_io import flow_to_image, read_flow_png, resize_flow, write_flow_png
+from .flow_io import (
+    disp_to_flowfile,
+    flow_to_image,
+    read_disp_png,
+    read_flo,
+    read_flow_png,
+    resize_flow,
+    write_disp_png,
+    write_flo,
+    write_flow_png,
+)
 from .flow_metrics import (
     calculate_error_rate,
     eval_flow_avg,
@@ -22,9 +32,14 @@ __all__ = [
     "load_intrinsics_raw",
     "compute_errors",
     "eval_depth",
+    "disp_to_flowfile",
     "flow_to_image",
+    "read_disp_png",
+    "read_flo",
     "read_flow_png",
     "resize_flow",
+    "write_disp_png",
+    "write_flo",
     "write_flow_png",
     "calculate_error_rate",
     "eval_flow_avg",

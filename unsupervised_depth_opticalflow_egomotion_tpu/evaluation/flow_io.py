@@ -1,11 +1,14 @@
-"""KITTI 16-bit flow PNG I/O and Middlebury flow colorization.
+"""Flow / disparity I/O and Middlebury flow colorization.
 
 Functional equivalents of /root/reference/core/evaluation/flowlib.py
-(read_flow_png :107-128, write_flow_png :131-145, flow_to_image :258-296,
-compute_color/make_color_wheel :444-540), vectorized with cv2 instead of the
-row-by-row pypng loops.
+(read_flow_png :107-128, write_flow_png :131-145, .flo read/write :63-106 +
+:147-163, disparity I/O :332-376, flow_to_image :258-296,
+compute_color/make_color_wheel :444-540), vectorized with cv2/numpy instead
+of the row-by-row pypng loops.
 
-Encoding: uint16 RGB where u = (R - 2^15)/64, v = (G - 2^15)/64, valid = B.
+KITTI PNG encoding: uint16 RGB with u = (R - 2^15)/64, v = (G - 2^15)/64,
+valid = B. Middlebury .flo: f32 magic 202021.25, int32 (w, h), row-major
+interleaved (u, v) f32. KITTI disparity PNG: uint16 single channel / 256.
 """
 
 from __future__ import annotations
@@ -18,6 +21,54 @@ except ImportError:  # pragma: no cover
     cv2 = None
 
 UNKNOWN_FLOW_THRESH = 1e7
+FLO_MAGIC = 202021.25
+
+
+def read_flo(filename: str) -> np.ndarray:
+    """Read a Middlebury .flo file -> [H,W,2] float32 (flowlib.py:63-83)."""
+    with open(filename, "rb") as f:
+        magic = np.fromfile(f, np.float32, count=1)
+        if magic.size == 0 or magic[0] != np.float32(FLO_MAGIC):
+            raise ValueError(f"{filename}: invalid .flo magic {magic!r}")
+        w = int(np.fromfile(f, np.int32, count=1)[0])
+        h = int(np.fromfile(f, np.int32, count=1)[0])
+        data = np.fromfile(f, np.float32, count=2 * w * h)
+    if data.size != 2 * w * h:
+        raise ValueError(f"{filename}: truncated .flo payload")
+    return data.reshape(h, w, 2)
+
+
+def write_flo(flow: np.ndarray, filename: str) -> None:
+    """Write [H,W,2] flow as a Middlebury .flo file (flowlib.py:147-163)."""
+    h, w = flow.shape[:2]
+    with open(filename, "wb") as f:
+        np.asarray([FLO_MAGIC], np.float32).tofile(f)
+        np.asarray([w], np.int32).tofile(f)
+        np.asarray([h], np.int32).tofile(f)
+        np.ascontiguousarray(flow[..., :2], dtype=np.float32).tofile(f)
+
+
+def read_disp_png(file_name: str) -> np.ndarray:
+    """Read a KITTI 16-bit disparity PNG -> [H,W] float (flowlib.py:332-348)."""
+    raw = cv2.imread(file_name, cv2.IMREAD_UNCHANGED)
+    if raw is None:
+        raise FileNotFoundError(file_name)
+    if raw.ndim == 3:
+        raw = raw[:, :, -1]  # cv2 loads BGR; channel 0 of the PNG is last
+    return raw.astype(np.float64) / 256.0
+
+
+def write_disp_png(disp: np.ndarray, file_name: str) -> None:
+    """Write [H,W] disparity as a KITTI 16-bit PNG (disp * 256 as uint16)."""
+    out = np.clip(np.asarray(disp, np.float64) * 256.0, 0, 2**16 - 1)
+    cv2.imwrite(file_name, out.astype(np.uint16))
+
+
+def disp_to_flowfile(disp: np.ndarray, filename: str) -> None:
+    """Store a disparity map as a .flo file with v = 0 (flowlib.py:350-376)."""
+    h, w = disp.shape[:2]
+    data = np.dstack([disp.astype(np.float32), np.zeros((h, w), np.float32)])
+    write_flo(data, filename)
 
 
 def read_flow_png(flow_file: str) -> np.ndarray:

@@ -121,9 +121,16 @@ class JointModel(nn.Module):
     # the same receptive fields), but every warp gather, mask, and loss term
     # evaluates on the downscaled grid: at 1 the full-res warp gathers and the
     # full-res decoder head vanish from the train step (XLA prunes the unused
-    # scale-0 disp head). A measured quality/speed dial -- records in PERF.md
-    # and TRAINING.md; the reference always trains at loss scale 0.
+    # scale-0 disp head). The reference always trains at loss scale 0
+    # (model_geometry.py:802-846 evaluates the loss pyramid from full res);
+    # see PERF.md "loss_base_scale" and TRAINING.md geom_fixflow_ls1 for the
+    # measured speed/quality trade.
     loss_base_scale: int = 0
+    # Weight of the dynamic-region (non-rigid) photometric term relative to
+    # the rigid-region one. The reference hard-codes 2x (model_geometry.py's
+    # dyna-masked pixel loss is added at weight 2 alongside the rigid one);
+    # configurable here for the moving-region A/B (TRAINING.md).
+    dyna_photo_weight: float = 2.0
     dtype: Any = jnp.float32
 
     def setup(self):
@@ -498,8 +505,10 @@ class JointModel(nn.Module):
             ),
             "loss_flow_pixel": L.photometric_loss(img_pyr, warped_from_l, bwd_vo_rigid)
             + L.photometric_loss(img_pyr, warped_from_r, fwd_vo_rigid)
-            + 2.0 * L.photometric_loss(img_pyr, warped_from_l, bwd_vo_dyna)
-            + 2.0 * L.photometric_loss(img_pyr, warped_from_r, fwd_vo_dyna),
+            + self.dyna_photo_weight
+            * L.photometric_loss(img_pyr, warped_from_l, bwd_vo_dyna)
+            + self.dyna_photo_weight
+            * L.photometric_loss(img_pyr, warped_from_r, fwd_vo_dyna),
             "loss_flow_ssim": L.ssim_loss(img_pyr, warped_from_l, bwd_valid_occ)
             + L.ssim_loss(img_pyr, warped_from_r, fwd_valid_occ),
             "loss_flow_smooth": L.flow_smooth_loss(flows_fwd, img_pyr)

@@ -63,6 +63,7 @@ def build_model(cfg: Config) -> JointModel:
         corr_impl=cfg.pwc_corr,
         flow_occ_impl=cfg.flow_occ_impl,
         loss_base_scale=cfg.loss_base_scale,
+        dyna_photo_weight=cfg.dyna_photo_weight,
         dtype=dtype,
     )
 
