@@ -64,12 +64,12 @@ def gather_rate_kernel(n_gathers=64, shape=(8, 128), dtype=jnp.float32):
 
     def kernel(x_ref, i_ref, o_ref):
         acc = jnp.zeros(shape, jnp.float32)
-        x = x_ref[:]
-        idx = i_ref[:]
+        x = x_ref[0]
+        idx = i_ref[0]
         for k in range(n_gathers):
             g = jnp.take_along_axis(x, (idx + k) % shape[1], axis=1)
             acc = acc + g.astype(jnp.float32)
-        o_ref[:] = acc
+        o_ref[0] = acc
 
     grid = (512,)  # 512 blocks to give the scalar unit something to pipeline
     x = jnp.ones((grid[0], *shape), dtype)

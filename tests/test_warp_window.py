@@ -1,0 +1,146 @@
+"""Windowed Pallas warp-gather vs the production XLA sampler (interpret mode).
+
+Value AND coordinate-gradient parity against ops/warp.py's
+grid_sample_with_weight on uint8 sources, including zeros-padding edges and
+large uniform motion (per-band window tracking). Hardware compile/perf is
+covered by scripts/bench_warp_window.py on the TPU.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from unsupervised_depth_opticalflow_egomotion_tpu.ops.pallas.warp_window import (
+    warp_gather_u8rgb,
+)
+from unsupervised_depth_opticalflow_egomotion_tpu.ops.warp import (
+    grid_sample_with_weight,
+    normalize_coords,
+    pixel_grid,
+)
+
+
+def _xla_ref(src_u8, ix, iy):
+    h, w = src_u8.shape[1:3]
+    coords = normalize_coords(jnp.stack([ix, iy], -1), h, w)
+    out, wsum = grid_sample_with_weight(src_u8, coords, out_dtype=jnp.float32)
+    return out, wsum
+
+
+def _mk(b=2, h=32, w=160, flow_scale=3.0, dy=0.0, dx=0.0, seed=0):
+    rng = np.random.RandomState(seed)
+    src = rng.randint(0, 256, (b, h, w, 3), np.uint8)
+    grid = np.asarray(pixel_grid(h, w))
+    fx = rng.uniform(-flow_scale, flow_scale, (b, h, w)).astype(np.float32)
+    fy = rng.uniform(-flow_scale, flow_scale, (b, h, w)).astype(np.float32)
+    ix = grid[None, :, :, 0] + fx + dx
+    iy = grid[None, :, :, 1] + fy + dy
+    return jnp.asarray(src), jnp.asarray(ix, jnp.float32), jnp.asarray(iy, jnp.float32)
+
+
+def _check(src, ix, iy, atol=2e-5):
+    out, wsum = warp_gather_u8rgb(
+        src, ix, iy, out_dtype=jnp.float32, interpret=True
+    )
+    ref, ref_w = _xla_ref(src, ix, iy)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=atol)
+    np.testing.assert_allclose(
+        np.asarray(wsum), np.asarray(ref_w), atol=atol
+    )
+
+
+class TestForwardParity:
+    def test_small_flow(self):
+        _check(*_mk())
+
+    def test_zero_flow_identity(self):
+        src, ix, iy = _mk(flow_scale=0.0)
+        out, wsum = warp_gather_u8rgb(
+            src, ix, iy, out_dtype=jnp.float32, interpret=True
+        )
+        np.testing.assert_allclose(
+            np.asarray(out),
+            np.asarray(src, np.float32) / 255.0,
+            atol=1e-6,
+        )
+        assert float(jnp.min(wsum)) == 1.0
+
+    def test_out_of_bounds_zeros(self):
+        # shift everything far out of the image: output and weights all zero
+        src, ix, iy = _mk(dy=500.0)
+        out, wsum = warp_gather_u8rgb(
+            src, ix, iy, out_dtype=jnp.float32, interpret=True
+        )
+        assert float(jnp.max(jnp.abs(out))) == 0.0
+        assert float(jnp.max(wsum)) == 0.0
+
+    def test_large_uniform_motion_tracked_by_window(self):
+        # 20-row uniform shift: far beyond one tile, absorbed by band starts
+        _check(*_mk(h=64, dy=-20.0))
+        _check(*_mk(h=64, dy=20.0))
+
+    def test_large_horizontal_motion(self):
+        # looser atol: the XLA reference roundtrips pixel coords through
+        # [-1,1] normalization, losing ~1 ulp at x ~ 300 (the kernel path
+        # uses the pixel coords directly and is the more accurate one)
+        _check(*_mk(w=384, dx=170.0), atol=2e-4)
+        _check(*_mk(w=384, dx=-170.0), atol=2e-4)
+
+    def test_boundary_band(self):
+        # flows straddling the image top/bottom rows exercise the clip path
+        src, ix, iy = _mk(h=32, flow_scale=2.5)
+        iy = jnp.clip(iy, -2.0, 33.5)
+        _check(src, ix, iy)
+
+    def test_non_multiple_width(self):
+        # W=160 pads to 256 lanes; W=96 pads to 128
+        _check(*_mk(w=96))
+
+    def test_bf16_output(self):
+        src, ix, iy = _mk()
+        out, _ = warp_gather_u8rgb(src, ix, iy, interpret=True)
+        ref, _ = _xla_ref(src, ix, iy)
+        np.testing.assert_allclose(
+            np.asarray(out, np.float32), np.asarray(ref), atol=8e-3
+        )
+
+
+class TestGradParity:
+    def _grads(self, fn, src, ix, iy):
+        def loss(ix, iy):
+            out, wsum = fn(src, ix, iy)
+            # weight_sum enters differentiably to exercise the gw term
+            return jnp.sum(out * out) + 0.3 * jnp.sum(wsum * wsum)
+
+        return jax.grad(loss, argnums=(0, 1))(ix, iy)
+
+    @pytest.mark.parametrize("dy", [0.0, 12.0])
+    def test_coord_grads(self, dy):
+        src, ix, iy = _mk(h=64, dy=dy, seed=3)
+        # keep away from exact integers: the floor subgradient choice at
+        # integer coords legitimately differs between formulations
+        ix = ix + 0.25
+        iy = iy + 0.25
+        gx, gy = self._grads(
+            lambda s, a, b: warp_gather_u8rgb(
+                s, a, b, out_dtype=jnp.float32, interpret=True
+            ),
+            src, ix, iy,
+        )
+        rx, ry = self._grads(
+            lambda s, a, b: _xla_ref(s, a, b), src, ix, iy
+        )
+        np.testing.assert_allclose(np.asarray(gx), np.asarray(rx), atol=1e-3)
+        np.testing.assert_allclose(np.asarray(gy), np.asarray(ry), atol=1e-3)
+
+    def test_grad_out_of_bounds_zero(self):
+        src, ix, iy = _mk(dy=500.0)
+        gx, gy = self._grads(
+            lambda s, a, b: warp_gather_u8rgb(
+                s, a, b, out_dtype=jnp.float32, interpret=True
+            ),
+            src, ix, iy,
+        )
+        assert float(jnp.max(jnp.abs(gx))) == 0.0
+        assert float(jnp.max(jnp.abs(gy))) == 0.0

@@ -1,0 +1,403 @@
+"""Windowed Pallas warp-gather: bilinear image sampling at VPU shuffle rate.
+
+Replaces the XLA row-gather form of the warp sampler (ops/warp.py) for
+uint8 image sources. XLA's best gather on TPU v5e runs at the platform
+gather-row rate (~130-190 M rows/s measured, PERF.md round-3) because the
+chip has no hardware global gather; but Mosaic's ``tpu.dynamic_gather``
+(reached via ``jnp.take_along_axis(x, idx, axis=1)`` on an [8,128] block)
+is an intra-vreg lane shuffle issuing at ~1 vreg/cycle
+(scripts/probe_dynamic_gather.py: ~920 M [8,128]-gathers/s marginal). This
+kernel exploits warp locality to replace the global gather with windowed
+shuffles:
+
+- per (batch, ``brows``-row output band), DMA a ``win``-row source window
+  (whole padded width) from HBM into VMEM, starting at the band's min
+  source row (scalar-prefetched; computed by a cheap XLA reduction);
+- per [8,128] output tile, loop source rows k over the tile's dynamic
+  [kmin, kmax+1] range (flow smoothness makes this ~tile height + local
+  flow variation, not ``win``) and 128-lane blocks q over the tile's
+  dynamic column range;
+- each bilinear tap fetch decomposes into (block select q, intra-vreg
+  shuffle r): one ``dynamic_gather`` per (k, q, x-tap).
+
+dtype rules (probed on v5e): dynamic_gather compiles only for 32-bit lane
+types at lane width exactly 128 — so uint8 RGB sources are packed to i32
+words R | G<<8 | B<<16; two gathers per (k, q) fetch both x taps' RGB.
+
+Semantics match ops/warp.py exactly (same pre-clipped patch-start weight
+rederivation, zeros padding, analytic weight_sum, 1/255 folded into the
+weights) EXCEPT when a band's source-row range exceeds ``win - 2``: fetch
+rows are then clamped to the window (a displacement clamp on extreme
+flows; the XLA path has no such limit). ``win`` defaults to 64 rows, which
+covers a vertical-flow VARIATION of ~30 px within one 32-row band —
+uniform vertical motion of any size is absorbed by the per-band window
+start. Gradients flow to the sample coordinates only (closed-form bilinear
+adjoint; the backward kernel recomputes the gathers, so no tap-tensor
+residual is stored). Sources are image data everywhere in this model
+(joint.py warps sample camera frames), so d(src) is never needed; the
+wrapper in ops/warp.py keeps the XLA path for float sources.
+
+Reference hot path being replaced: F.grid_sample in
+/root/reference/core/networks/structures/net_utils.py:38-54 and
+inverse_warp.py:294.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LANE = 128
+
+
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+def _pos_weights(i, size):
+    """Pre-clipped patch-start bilinear weights, mirroring warp._tap_weights.
+
+    Returns (start f32 in [0, size-2], w0, w1, dw0, dw1): the weights
+    carried by patch positions start / start+1 under zeros padding, and
+    their derivatives w.r.t. ``i`` (floor contributes zero a.e.).
+    """
+    i0 = jnp.floor(i)
+    frac = i - i0
+    inb_lo = (i0 >= 0) & (i0 <= size - 1)
+    inb_hi = (i0 >= -1) & (i0 <= size - 2)
+    start = jnp.clip(i0, 0.0, float(size - 2))
+
+    def pos(k):
+        p = start + k
+        sel_lo = inb_lo & (p == i0)
+        sel_hi = inb_hi & (p == i0 + 1)
+        w = jnp.where(sel_lo, 1.0 - frac, 0.0) + jnp.where(sel_hi, frac, 0.0)
+        dw = jnp.where(sel_lo, -1.0, 0.0) + jnp.where(sel_hi, 1.0, 0.0)
+        return w, dw
+
+    w0, dw0 = pos(0.0)
+    w1, dw1 = pos(1.0)
+    return start, w0, w1, dw0, dw1
+
+
+def _unpack_u8rgb(g):
+    """i32 word -> 3 f32 channels (R | G<<8 | B<<16)."""
+    return (
+        (g & 0xFF).astype(jnp.float32),
+        ((g >> 8) & 0xFF).astype(jnp.float32),
+        ((g >> 16) & 0xFF).astype(jnp.float32),
+    )
+
+
+def _tile_weights(ixt, iyt, h, w, s):
+    """Per-tile index/weight planes shared by the fwd and bwd kernels."""
+    ys, wy0, wy1, dwy0, dwy1 = _pos_weights(iyt, h)
+    xs, wx0, wx1, dwx0, dwx1 = _pos_weights(ixt, w)
+    # window-relative fetch row of the y patch start (displacement clamp)
+    ra = jnp.clip(ys - s.astype(jnp.float32), 0.0, None)
+    return dict(
+        wy0=wy0, wy1=wy1, dwy0=dwy0, dwy1=dwy1,
+        xs=xs, wx0=wx0, wx1=wx1, dwx0=dwx0, dwx1=dwx1, ra=ra,
+    )
+
+
+def _loop_bounds(tw, win, wp):
+    """Dynamic (kmin, kmax, qmin, qmax) scalars for the fetch loops."""
+    ra = jnp.clip(tw["ra"], 0.0, float(win - 2))
+    kmin = jnp.min(ra).astype(jnp.int32)
+    kmax = jnp.max(ra).astype(jnp.int32) + 1  # +1: the second y tap's row
+    qmin = (jnp.min(tw["xs"]) // LANE).astype(jnp.int32)
+    qmax = ((jnp.max(tw["xs"]) + 1.0) // LANE).astype(jnp.int32)
+    qmax = jnp.minimum(qmax, wp // LANE - 1)
+    return kmin, kmax, qmin, qmax
+
+
+def _clamp_ra(tw, win):
+    return jnp.clip(tw["ra"], 0.0, float(win - 2))
+
+
+def _gather_block(win_vmem, k, q, col_f32):
+    """One tap fetch: window row k, 128-block q, per-lane column col_f32.
+
+    Returns (g i32 [8,128], in-block mask f32)."""
+    row = win_vmem[pl.ds(k, 1), pl.ds(q * LANE, LANE)]
+    blk = jnp.broadcast_to(row, (8, LANE))
+    r = col_f32 - (q * LANE).astype(jnp.float32)
+    m = ((r >= 0) & (r <= LANE - 1)).astype(jnp.float32)
+    rc = jnp.clip(r, 0.0, float(LANE - 1)).astype(jnp.int32)
+    return jnp.take_along_axis(blk, rc, axis=1), m
+
+
+def _fwd_kernel(
+    s_ref, words_ref, ix_ref, iy_ref, out_ref, win_vmem, sem,
+    *, h, w, wp, win, brows,
+):
+    bi = pl.program_id(0)
+    band = pl.program_id(1)
+    s = s_ref[bi, band]
+    cdma = pltpu.make_async_copy(words_ref.at[bi, pl.ds(s, win)], win_vmem, sem)
+    cdma.start()
+    cdma.wait()
+    scale = jnp.float32(1.0 / 255.0)
+
+    for ti in range(brows // 8):
+        for tq in range(wp // LANE):
+            rs, cs = ti * 8, tq * LANE
+            ixt = ix_ref[0, pl.ds(rs, 8), pl.ds(cs, LANE)]
+            iyt = iy_ref[0, pl.ds(rs, 8), pl.ds(cs, LANE)]
+            tw = _tile_weights(ixt, iyt, h, w, s)
+            kmin, kmax, qmin, qmax = _loop_bounds(tw, win, wp)
+            ra = _clamp_ra(tw, win)
+            wsum = (tw["wy0"] + tw["wy1"]) * (tw["wx0"] + tw["wx1"])
+
+            def k_body(k, acc):
+                kf = k.astype(jnp.float32)
+                wk = tw["wy0"] * (ra == kf) + tw["wy1"] * (ra == kf - 1.0)
+
+                def q_body(q, acc):
+                    g0, m0 = _gather_block(win_vmem, k, q, tw["xs"])
+                    g1, m1 = _gather_block(win_vmem, k, q, tw["xs"] + 1.0)
+                    w0 = wk * tw["wx0"] * m0
+                    w1 = wk * tw["wx1"] * m1
+                    return tuple(
+                        a + w0 * c0 + w1 * c1
+                        for a, c0, c1 in zip(
+                            acc, _unpack_u8rgb(g0), _unpack_u8rgb(g1)
+                        )
+                    )
+
+                return jax.lax.fori_loop(qmin, qmax + 1, q_body, acc)
+
+            zero = jnp.zeros((8, LANE), jnp.float32)
+            acc = jax.lax.fori_loop(kmin, kmax + 1, k_body, (zero,) * 3)
+            for c in range(3):
+                out_ref[0, c, pl.ds(rs, 8), pl.ds(cs, LANE)] = (
+                    acc[c] * scale
+                ).astype(out_ref.dtype)
+            out_ref[0, 3, pl.ds(rs, 8), pl.ds(cs, LANE)] = wsum.astype(
+                out_ref.dtype
+            )
+
+
+def _bwd_kernel(
+    s_ref, words_ref, ix_ref, iy_ref, gout_ref, gw_ref, dix_ref, diy_ref,
+    win_vmem, sem, *, h, w, wp, win, brows,
+):
+    bi = pl.program_id(0)
+    band = pl.program_id(1)
+    s = s_ref[bi, band]
+    cdma = pltpu.make_async_copy(words_ref.at[bi, pl.ds(s, win)], win_vmem, sem)
+    cdma.start()
+    cdma.wait()
+    scale = jnp.float32(1.0 / 255.0)
+
+    for ti in range(brows // 8):
+        for tq in range(wp // LANE):
+            rs, cs = ti * 8, tq * LANE
+            ixt = ix_ref[0, pl.ds(rs, 8), pl.ds(cs, LANE)]
+            iyt = iy_ref[0, pl.ds(rs, 8), pl.ds(cs, LANE)]
+            tw = _tile_weights(ixt, iyt, h, w, s)
+            kmin, kmax, qmin, qmax = _loop_bounds(tw, win, wp)
+            ra = _clamp_ra(tw, win)
+            gts = tuple(
+                gout_ref[0, c, pl.ds(rs, 8), pl.ds(cs, LANE)].astype(jnp.float32)
+                for c in range(3)
+            )
+            gw = gw_ref[0, 0, pl.ds(rs, 8), pl.ds(cs, LANE)].astype(jnp.float32)
+
+            def k_body(k, acc):
+                kf = k.astype(jnp.float32)
+                sel_a = (ra == kf).astype(jnp.float32)
+                sel_b = (ra == kf - 1.0).astype(jnp.float32)
+                wk = tw["wy0"] * sel_a + tw["wy1"] * sel_b
+                dk = tw["dwy0"] * sel_a + tw["dwy1"] * sel_b
+
+                def q_body(q, acc):
+                    dix, diy = acc
+                    g0, m0 = _gather_block(win_vmem, k, q, tw["xs"])
+                    g1, m1 = _gather_block(win_vmem, k, q, tw["xs"] + 1.0)
+                    dot0 = jnp.zeros((8, LANE), jnp.float32)
+                    dot1 = jnp.zeros((8, LANE), jnp.float32)
+                    for gt, c0, c1 in zip(gts, _unpack_u8rgb(g0), _unpack_u8rgb(g1)):
+                        dot0 = dot0 + gt * c0
+                        dot1 = dot1 + gt * c1
+                    dot0, dot1 = dot0 * m0, dot1 * m1
+                    dix = dix + wk * (tw["dwx0"] * dot0 + tw["dwx1"] * dot1)
+                    diy = diy + dk * (tw["wx0"] * dot0 + tw["wx1"] * dot1)
+                    return dix, diy
+
+                return jax.lax.fori_loop(qmin, qmax + 1, q_body, acc)
+
+            zero = jnp.zeros((8, LANE), jnp.float32)
+            dix, diy = jax.lax.fori_loop(kmin, kmax + 1, k_body, (zero, zero))
+            # weight_sum cotangent (no fetch): wsum = (wy0+wy1)(wx0+wx1)
+            wy = tw["wy0"] + tw["wy1"]
+            wx = tw["wx0"] + tw["wx1"]
+            dix = dix * scale + gw * wy * (tw["dwx0"] + tw["dwx1"])
+            diy = diy * scale + gw * (tw["dwy0"] + tw["dwy1"]) * wx
+            dix_ref[0, pl.ds(rs, 8), pl.ds(cs, LANE)] = dix
+            diy_ref[0, pl.ds(rs, 8), pl.ds(cs, LANE)] = diy
+
+
+def _band_starts(iy, h, win, brows):
+    """[B, nbands] i32 window start rows from the UNPADDED source rows."""
+    b, ho, _ = iy.shape
+    m = jnp.min(iy.reshape(b, ho // brows, -1), axis=-1)
+    return jnp.clip(jnp.floor(m), 0.0, float(max(h - win, 0))).astype(jnp.int32)
+
+
+def _pack_u8rgb(src):
+    s = src.astype(jnp.int32)
+    return s[..., 0] | (s[..., 1] << 8) | (s[..., 2] << 16)
+
+
+def _coord_specs(brows, wp):
+    return pl.BlockSpec((1, brows, wp), lambda b, i, s: (b, i, 0))
+
+
+def _pad_last(x, wp, value=0.0):
+    wo = x.shape[-1]
+    if wp == wo:
+        return x
+    pad = [(0, 0)] * (x.ndim - 1) + [(0, wp - wo)]
+    return jnp.pad(x, pad, constant_values=value)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _warp_window_u8(words, ix, iy, src_hw, cfg):
+    return _warp_u8_fwd(words, ix, iy, src_hw, cfg)[0]
+
+
+def _warp_u8_fwd(words, ix, iy, src_hw, cfg):
+    h, w = src_hw
+    win, brows, out_dtype, interpret = cfg
+    b, ho, wo = ix.shape
+    wp = _round_up(wo, LANE)
+    wpw = words.shape[-1]
+    s_arr = _band_starts(iy, h, win, brows)
+    ixp = _pad_last(ix, wp, -2.0)
+    iyp = _pad_last(iy, wp, -2.0)
+    kern = functools.partial(
+        _fwd_kernel, h=h, w=w, wp=wp, win=win, brows=brows
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b, ho // brows),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            _coord_specs(brows, wp),
+            _coord_specs(brows, wp),
+        ],
+        out_specs=pl.BlockSpec((1, 4, brows, wp), lambda bb, i, s: (bb, 0, i, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((win, wpw), jnp.int32),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+    )
+    planes = pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, 4, ho, wp), jnp.dtype(out_dtype)),
+        interpret=interpret,
+    )(s_arr, words, ixp, iyp)
+    return planes, (words, ix, iy)
+
+
+def _warp_u8_bwd(src_hw, cfg, res, g):
+    words, ix, iy = res
+    h, w = src_hw
+    win, brows, _out_dtype, interpret = cfg
+    b, ho, wo = ix.shape
+    wp = _round_up(wo, LANE)
+    wpw = words.shape[-1]
+    s_arr = _band_starts(iy, h, win, brows)
+    ixp = _pad_last(ix, wp, -2.0)
+    iyp = _pad_last(iy, wp, -2.0)
+    gp = _pad_last(g.astype(jnp.float32), wp)
+    kern = functools.partial(
+        _bwd_kernel, h=h, w=w, wp=wp, win=win, brows=brows
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b, ho // brows),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            _coord_specs(brows, wp),
+            _coord_specs(brows, wp),
+            pl.BlockSpec((1, 3, brows, wp), lambda bb, i, s: (bb, 0, i, 0)),
+            pl.BlockSpec((1, 1, brows, wp), lambda bb, i, s: (bb, 0, i, 0)),
+        ],
+        out_specs=(
+            _coord_specs(brows, wp),
+            _coord_specs(brows, wp),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((win, wpw), jnp.int32),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+    )
+    dix, diy = pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((b, ho, wp), jnp.float32),
+            jax.ShapeDtypeStruct((b, ho, wp), jnp.float32),
+        ),
+        interpret=interpret,
+    )(s_arr, words, ixp, iyp, gp[:, :3], gp[:, 3:])
+    return None, dix[:, :, :wo], diy[:, :, :wo]
+
+
+_warp_window_u8.defvjp(_warp_u8_fwd, _warp_u8_bwd)
+
+
+def plan_supported(src_shape, coords_shape, h_min=8):
+    """Whether the kernel supports these shapes (else caller uses XLA)."""
+    b, h, w, c = src_shape
+    _, ho, wo = coords_shape
+    return (
+        c == 3
+        and h % 8 == 0
+        and ho % 8 == 0
+        and h >= h_min
+        and wo >= LANE
+    )
+
+
+def warp_gather_u8rgb(
+    src_u8, ix, iy, *, out_dtype=jnp.bfloat16, win=64, brows=32,
+    interpret=False,
+):
+    """Bilinear-sample uint8 RGB [B,H,W,3] at absolute pixel coordinates.
+
+    ``ix``/``iy`` are f32 [B,Ho,Wo] source-pixel positions (x, y). Returns
+    (rgb [B,Ho,Wo,3] in ``out_dtype``, scaled by 1/255, zeros padding) and
+    (weight_sum [B,Ho,Wo,1]) — exactly ops/warp.py's
+    ``grid_sample_with_weight`` contract for uint8 sources. Gradients flow
+    to ix/iy only (sources are image data).
+    """
+    b, h, w, c = src_u8.shape
+    assert c == 3, src_u8.shape
+    _, ho, wo = ix.shape
+    win = min(win, _round_up(h, 8))
+    brows = min(brows, ho)
+    while ho % brows:
+        brows //= 2
+    if brows % 8:
+        raise ValueError(f"output rows {ho} not a multiple of 8")
+    words = _pad_last(_pack_u8rgb(src_u8), _round_up(w, LANE))
+    planes = _warp_window_u8(
+        words,
+        ix.astype(jnp.float32),
+        iy.astype(jnp.float32),
+        (h, w),
+        (win, brows, jnp.dtype(out_dtype).name, interpret),
+    )
+    rgb = jnp.transpose(planes[:, :3, :, :wo], (0, 2, 3, 1))
+    wsum = jnp.transpose(planes[:, 3:4, :, :wo], (0, 2, 3, 1))
+    return rgb, wsum
