@@ -144,3 +144,45 @@ class TestGradParity:
         )
         assert float(jnp.max(jnp.abs(gx))) == 0.0
         assert float(jnp.max(jnp.abs(gy))) == 0.0
+
+
+class TestSamplerIntegration:
+    def test_warp_impl_switch_through_sampler(self):
+        """warp_impl='pallas' through grid_sample_with_weight == XLA path."""
+        from unsupervised_depth_opticalflow_egomotion_tpu.ops import warp
+        from unsupervised_depth_opticalflow_egomotion_tpu.ops.pallas import (
+            warp_window,
+        )
+
+        src, ix, iy = _mk(seed=7)
+        h, w = src.shape[1:3]
+        coords = normalize_coords(jnp.stack([ix, iy], -1), h, w)
+        ref, ref_w = grid_sample_with_weight(src, coords, out_dtype=jnp.float32)
+        warp.set_warp_impl("pallas")
+        warp_window._FORCE_INTERPRET = True
+        try:
+            out, wsum = grid_sample_with_weight(
+                src, coords, out_dtype=jnp.float32
+            )
+        finally:
+            warp.set_warp_impl("xla")
+            warp_window._FORCE_INTERPRET = False
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+        np.testing.assert_allclose(
+            np.asarray(wsum), np.asarray(ref_w), atol=2e-5
+        )
+
+    def test_float_source_keeps_xla_path(self):
+        from unsupervised_depth_opticalflow_egomotion_tpu.ops import warp
+
+        src, ix, iy = _mk()
+        srcf = src.astype(jnp.float32) / 255.0
+        h, w = src.shape[1:3]
+        coords = normalize_coords(jnp.stack([ix, iy], -1), h, w)
+        ref, _ = grid_sample_with_weight(srcf, coords)
+        warp.set_warp_impl("pallas")  # no _FORCE_INTERPRET: cpu -> XLA path
+        try:
+            out, _ = grid_sample_with_weight(srcf, coords)
+        finally:
+            warp.set_warp_impl("xla")
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))

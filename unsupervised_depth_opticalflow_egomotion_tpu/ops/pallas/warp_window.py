@@ -356,22 +356,20 @@ def _warp_u8_bwd(src_hw, cfg, res, g):
 _warp_window_u8.defvjp(_warp_u8_fwd, _warp_u8_bwd)
 
 
-def plan_supported(src_shape, coords_shape, h_min=8):
-    """Whether the kernel supports these shapes (else caller uses XLA)."""
-    b, h, w, c = src_shape
-    _, ho, wo = coords_shape
-    return (
-        c == 3
-        and h % 8 == 0
-        and ho % 8 == 0
-        and h >= h_min
-        and wo >= LANE
-    )
+# Off-TPU the wrapper in ops/warp.py keeps the XLA sampler (same math; CPU
+# model tests should not pay interpret-mode cost). The kernel unit tests
+# pass interpret=True explicitly; this flag lets an integration test force
+# the kernel path through the full sampler on CPU.
+_FORCE_INTERPRET = False
+
+
+def kernel_enabled() -> bool:
+    return jax.default_backend() not in ("cpu", "gpu") or _FORCE_INTERPRET
 
 
 def warp_gather_u8rgb(
     src_u8, ix, iy, *, out_dtype=jnp.bfloat16, win=64, brows=32,
-    interpret=False,
+    interpret=None,
 ):
     """Bilinear-sample uint8 RGB [B,H,W,3] at absolute pixel coordinates.
 
@@ -384,6 +382,8 @@ def warp_gather_u8rgb(
     b, h, w, c = src_u8.shape
     assert c == 3, src_u8.shape
     _, ho, wo = ix.shape
+    if interpret is None:
+        interpret = jax.default_backend() in ("cpu", "gpu")
     win = min(win, _round_up(h, 8))
     brows = min(brows, ho)
     while ho % brows:

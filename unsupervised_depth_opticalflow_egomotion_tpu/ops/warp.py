@@ -36,6 +36,20 @@ import jax.numpy as jnp
 #   by the whole-model parity test; flipped at *trace* time.
 _CONVENTION = "exact"
 
+# Warp sampler implementation, flipped at TRACE time (like _CONVENTION):
+# "xla" = quad-packed row gather (this module); "pallas" = the windowed
+# dynamic-gather kernel (ops/pallas/warp_window.py) for uint8 RGB sources
+# with supported shapes -- float sources and odd shapes keep the XLA path.
+# Set from Config.warp_impl by parallel.train_step.build_model.
+_WARP_IMPL = "xla"
+
+
+def set_warp_impl(impl: str) -> None:
+    global _WARP_IMPL
+    if impl not in ("xla", "pallas"):
+        raise ValueError(f"unknown warp_impl {impl!r}")
+    _WARP_IMPL = impl
+
 
 @contextmanager
 def torch_sampling_compat():
@@ -125,6 +139,27 @@ def grid_sample_with_weight_multi(img: jax.Array, coords_list, out_dtype=None):
     else:
         dtype = img.dtype if out_dtype is None else jnp.dtype(out_dtype)
         scale = 1.0
+
+    if is_u8 and c == 3 and _WARP_IMPL == "pallas" and h % 8 == 0:
+        from .pallas.warp_window import kernel_enabled, warp_gather_u8rgb
+
+        results = [] if kernel_enabled() else None
+    else:
+        results = None
+    if results is not None:
+        for coords in coords_list:
+            if _CONVENTION == "torch":
+                ix = (coords[..., 0] + 1.0) * 0.5 * w - 0.5
+                iy = (coords[..., 1] + 1.0) * 0.5 * h - 0.5
+            else:
+                ix = (coords[..., 0] + 1.0) * 0.5 * (w - 1)
+                iy = (coords[..., 1] + 1.0) * 0.5 * (h - 1)
+            if ix.shape[1] % 8 or ix.shape[2] < 128:
+                break  # unsupported output shape: all sets take the XLA path
+            out, wsum = warp_gather_u8rgb(img, ix, iy, out_dtype=dtype)
+            results.append((out, wsum))
+        else:
+            return results
 
     # flatten the batch into the gather's row dimension: one [B*N]-row gather
     # is ~1.8x faster than a batched [B, N] gather on TPU

@@ -42,8 +42,10 @@ def build_model(cfg: Config) -> JointModel:
     # trace-time op-implementation selection (module-level: ssim is called
     # from ops.losses, not through the model tree)
     from ..ops.ssim import set_ssim_impl
+    from ..ops.warp import set_warp_impl
 
     set_ssim_impl(cfg.ssim_impl)
+    set_warp_impl(cfg.warp_impl)
     return JointModel(
         num_scales=cfg.num_scales,
         num_input_frames=cfg.num_input_frames,
