@@ -59,9 +59,10 @@ def main():
     # (Config.loss_base_scale; quality A/B in TRAINING.md). Default 0 =
     # the reference's full-resolution objective.
     loss_scale = int(_os.environ.get("BENCH_LOSS_SCALE", "0"))
-    # BENCH_WARP_IMPL=pallas measures the windowed dynamic-gather warp
-    # kernel (Config.warp_impl; ops/pallas/warp_window.py)
-    warp_impl = _os.environ.get("BENCH_WARP_IMPL", "xla")
+    # BENCH_WARP_IMPL=xla measures the XLA row-gather sampler instead of
+    # the default windowed dynamic-gather warp kernel (Config.warp_impl;
+    # ops/pallas/warp_window.py)
+    warp_impl = _os.environ.get("BENCH_WARP_IMPL", "pallas")
     h, w = 256, 832
     cfg = Config(
         img_hw=(h, w), mode="geom", compute_dtype="bfloat16",

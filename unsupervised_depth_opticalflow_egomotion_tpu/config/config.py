@@ -70,11 +70,14 @@ class Config:
     pwc_corr: str = "fused"  # "xla" | "pallas" | "fused": PWC correlation impl
     # (hardware measurements in PERF.md; "fused" = round-3 channel-major
     # Pallas fwd+bwd kernels, ops/pallas/correlation_fused.py)
-    warp_impl: str = "xla"  # "xla" | "pallas": bilinear warp sampler for
+    warp_impl: str = "pallas"  # "xla" | "pallas": bilinear warp sampler for
     # uint8 RGB sources. "pallas" = the windowed dynamic-gather kernel
     # (ops/pallas/warp_window.py): per-band VMEM source windows + intra-vreg
-    # lane shuffles instead of the platform-rate global row gather; float
-    # sources and unsupported shapes keep the XLA path either way.
+    # lane shuffles instead of the platform-rate global row gather (geom
+    # step 43.5 -> 51.3 fps/chip, PERF.md round-4; value/grad parity vs the
+    # XLA sampler in tests/test_warp_window.py, displacement clamped beyond
+    # +-128 px horizontal / 53 px per-band vertical variation); float
+    # sources and off-TPU backends keep the XLA path either way.
     ssim_impl: str = "pallas"  # "xla" | "pallas": SSIM map impl. "pallas" =
     # the fused single-pass fwd+bwd kernel (ops/pallas/ssim_fused.py) on
     # planes where it measures faster (>=128x416; hardware table in PERF.md),

@@ -28,10 +28,13 @@ Semantics match ops/warp.py exactly (same pre-clipped patch-start weight
 rederivation, zeros padding, analytic weight_sum, 1/255 folded into the
 weights) EXCEPT when a band's source-row range exceeds ``win - 2``: fetch
 rows are then clamped to the window (a displacement clamp on extreme
-flows; the XLA path has no such limit). ``win`` defaults to 64 rows, which
-covers a vertical-flow VARIATION of ~30 px within one 32-row band —
+flows; the XLA path has no such limit). ``win`` defaults to 96 rows, which
+covers a vertical-flow VARIATION of ~53 px within one 32-row band —
 uniform vertical motion of any size is absorbed by the per-band window
-start. Gradients flow to the sample coordinates only (closed-form bilinear
+start, and the window size costs only VMEM + DMA volume (the shuffle loop
+spans the band's ACTUAL row range, not ``win``). Horizontally the static
+column blocks cover tile-relative offsets [-128, 255], i.e. displacements
+of +-128 px are exact for every lane. Gradients flow to the sample coordinates only (closed-form bilinear
 adjoint; the backward kernel recomputes the gathers, so no tap-tensor
 residual is stored). Sources are image data everywhere in this model
 (joint.py warps sample camera frames), so d(src) is never needed; the
@@ -106,31 +109,32 @@ def _tile_weights(ixt, iyt, h, w, s):
     )
 
 
-def _loop_bounds(tw, win, wp):
-    """Dynamic (kmin, kmax, qmin, qmax) scalars for the fetch loops."""
-    ra = jnp.clip(tw["ra"], 0.0, float(win - 2))
-    kmin = jnp.min(ra).astype(jnp.int32)
-    kmax = jnp.max(ra).astype(jnp.int32) + 1  # +1: the second y tap's row
-    qmin = (jnp.min(tw["xs"]) // LANE).astype(jnp.int32)
-    qmax = ((jnp.max(tw["xs"]) + 1.0) // LANE).astype(jnp.int32)
-    qmax = jnp.minimum(qmax, wp // LANE - 1)
-    return kmin, kmax, qmin, qmax
+def _group_bounds(ra, win):
+    """Dynamic 8-row-group loop bounds covering rows [min ra, max ra + 1]."""
+    gmin = (jnp.min(ra) // 8.0).astype(jnp.int32)
+    gmax = ((jnp.max(ra) + 1.0) // 8.0).astype(jnp.int32)
+    return gmin, jnp.minimum(gmax, win // 8 - 1)
 
 
-def _clamp_ra(tw, win):
-    return jnp.clip(tw["ra"], 0.0, float(win - 2))
+def _tile_dqs(tq, wp):
+    """Static relative column blocks covering offsets [-128, 255].
+
+    Mosaic's index prover rejects lane-dim dynamic slices, so the column
+    blocks are STATIC relative to the tile: dq in {-1, 0, 1} (clipped to
+    the buffer). Fetch columns are clamped into the covered range — a
+    +-128 px horizontal displacement clamp mirroring the vertical window
+    clamp (weights stay exact; only extreme-flow tap VALUES clamp)."""
+    return [dq for dq in (-1, 0, 1) if 0 <= tq + dq < wp // LANE]
 
 
-def _gather_block(win_vmem, k, q, col_f32):
-    """One tap fetch: window row k, 128-block q, per-lane column col_f32.
+def _fetch_cols(row_blk, foff, dq):
+    """Per-lane fetch at tile-relative column offset ``foff`` from block dq.
 
     Returns (g i32 [8,128], in-block mask f32)."""
-    row = win_vmem[pl.ds(k, 1), pl.ds(q * LANE, LANE)]
-    blk = jnp.broadcast_to(row, (8, LANE))
-    r = col_f32 - (q * LANE).astype(jnp.float32)
+    r = foff - float(dq * LANE)
     m = ((r >= 0) & (r <= LANE - 1)).astype(jnp.float32)
     rc = jnp.clip(r, 0.0, float(LANE - 1)).astype(jnp.int32)
-    return jnp.take_along_axis(blk, rc, axis=1), m
+    return jnp.take_along_axis(row_blk, rc, axis=1), m
 
 
 def _fwd_kernel(
@@ -139,8 +143,13 @@ def _fwd_kernel(
 ):
     bi = pl.program_id(0)
     band = pl.program_id(1)
-    s = s_ref[bi, band]
-    cdma = pltpu.make_async_copy(words_ref.at[bi, pl.ds(s, win)], win_vmem, sem)
+    # s_ref holds start//8: writing the slice offset as s8*8 lets Mosaic's
+    # index prover verify divisibility by the (8,128) sublane tiling
+    s8 = s_ref[bi, band]
+    s = s8 * 8
+    cdma = pltpu.make_async_copy(
+        words_ref.at[bi, pl.ds(s8 * 8, win)], win_vmem, sem
+    )
     cdma.start()
     cdma.wait()
     scale = jnp.float32(1.0 / 255.0)
@@ -151,30 +160,38 @@ def _fwd_kernel(
             ixt = ix_ref[0, pl.ds(rs, 8), pl.ds(cs, LANE)]
             iyt = iy_ref[0, pl.ds(rs, 8), pl.ds(cs, LANE)]
             tw = _tile_weights(ixt, iyt, h, w, s)
-            kmin, kmax, qmin, qmax = _loop_bounds(tw, win, wp)
-            ra = _clamp_ra(tw, win)
+            ra = jnp.clip(tw["ra"], 0.0, float(win - 2))
+            gmin, gmax = _group_bounds(ra, win)
+            dqs = _tile_dqs(tq, wp)
+            lo, hi = float(dqs[0] * LANE), float(dqs[-1] * LANE + LANE - 1)
+            f0 = jnp.clip(tw["xs"] - cs, lo, hi)
+            f1 = jnp.clip(tw["xs"] + 1.0 - cs, lo, hi)
             wsum = (tw["wy0"] + tw["wy1"]) * (tw["wx0"] + tw["wx1"])
 
-            def k_body(k, acc):
-                kf = k.astype(jnp.float32)
-                wk = tw["wy0"] * (ra == kf) + tw["wy1"] * (ra == kf - 1.0)
-
-                def q_body(q, acc):
-                    g0, m0 = _gather_block(win_vmem, k, q, tw["xs"])
-                    g1, m1 = _gather_block(win_vmem, k, q, tw["xs"] + 1.0)
-                    w0 = wk * tw["wx0"] * m0
-                    w1 = wk * tw["wx1"] * m1
-                    return tuple(
-                        a + w0 * c0 + w1 * c1
-                        for a, c0, c1 in zip(
-                            acc, _unpack_u8rgb(g0), _unpack_u8rgb(g1)
+            def g_body(g, acc):
+                blks = [
+                    win_vmem[pl.ds(g * 8, 8), pl.ds((tq + dq) * LANE, LANE)]
+                    for dq in dqs
+                ]
+                for kk in range(8):
+                    kf = (g * 8 + kk).astype(jnp.float32)
+                    wk = tw["wy0"] * (ra == kf) + tw["wy1"] * (ra == kf - 1.0)
+                    w0 = wk * tw["wx0"]
+                    w1 = wk * tw["wx1"]
+                    for dq, blk in zip(dqs, blks):
+                        row = jnp.broadcast_to(blk[kk : kk + 1], (8, LANE))
+                        g0, m0 = _fetch_cols(row, f0, dq)
+                        g1, m1 = _fetch_cols(row, f1, dq)
+                        acc = tuple(
+                            a + (w0 * m0) * c0 + (w1 * m1) * c1
+                            for a, c0, c1 in zip(
+                                acc, _unpack_u8rgb(g0), _unpack_u8rgb(g1)
+                            )
                         )
-                    )
-
-                return jax.lax.fori_loop(qmin, qmax + 1, q_body, acc)
+                return acc
 
             zero = jnp.zeros((8, LANE), jnp.float32)
-            acc = jax.lax.fori_loop(kmin, kmax + 1, k_body, (zero,) * 3)
+            acc = jax.lax.fori_loop(gmin, gmax + 1, g_body, (zero,) * 3)
             for c in range(3):
                 out_ref[0, c, pl.ds(rs, 8), pl.ds(cs, LANE)] = (
                     acc[c] * scale
@@ -190,8 +207,12 @@ def _bwd_kernel(
 ):
     bi = pl.program_id(0)
     band = pl.program_id(1)
-    s = s_ref[bi, band]
-    cdma = pltpu.make_async_copy(words_ref.at[bi, pl.ds(s, win)], win_vmem, sem)
+    # s_ref holds start//8 (see _fwd_kernel)
+    s8 = s_ref[bi, band]
+    s = s8 * 8
+    cdma = pltpu.make_async_copy(
+        words_ref.at[bi, pl.ds(s8 * 8, win)], win_vmem, sem
+    )
     cdma.start()
     cdma.wait()
     scale = jnp.float32(1.0 / 255.0)
@@ -202,39 +223,48 @@ def _bwd_kernel(
             ixt = ix_ref[0, pl.ds(rs, 8), pl.ds(cs, LANE)]
             iyt = iy_ref[0, pl.ds(rs, 8), pl.ds(cs, LANE)]
             tw = _tile_weights(ixt, iyt, h, w, s)
-            kmin, kmax, qmin, qmax = _loop_bounds(tw, win, wp)
-            ra = _clamp_ra(tw, win)
+            ra = jnp.clip(tw["ra"], 0.0, float(win - 2))
+            gmin, gmax = _group_bounds(ra, win)
+            dqs = _tile_dqs(tq, wp)
+            lo, hi = float(dqs[0] * LANE), float(dqs[-1] * LANE + LANE - 1)
+            f0 = jnp.clip(tw["xs"] - cs, lo, hi)
+            f1 = jnp.clip(tw["xs"] + 1.0 - cs, lo, hi)
             gts = tuple(
                 gout_ref[0, c, pl.ds(rs, 8), pl.ds(cs, LANE)].astype(jnp.float32)
                 for c in range(3)
             )
             gw = gw_ref[0, 0, pl.ds(rs, 8), pl.ds(cs, LANE)].astype(jnp.float32)
 
-            def k_body(k, acc):
-                kf = k.astype(jnp.float32)
-                sel_a = (ra == kf).astype(jnp.float32)
-                sel_b = (ra == kf - 1.0).astype(jnp.float32)
-                wk = tw["wy0"] * sel_a + tw["wy1"] * sel_b
-                dk = tw["dwy0"] * sel_a + tw["dwy1"] * sel_b
-
-                def q_body(q, acc):
-                    dix, diy = acc
-                    g0, m0 = _gather_block(win_vmem, k, q, tw["xs"])
-                    g1, m1 = _gather_block(win_vmem, k, q, tw["xs"] + 1.0)
-                    dot0 = jnp.zeros((8, LANE), jnp.float32)
-                    dot1 = jnp.zeros((8, LANE), jnp.float32)
-                    for gt, c0, c1 in zip(gts, _unpack_u8rgb(g0), _unpack_u8rgb(g1)):
-                        dot0 = dot0 + gt * c0
-                        dot1 = dot1 + gt * c1
-                    dot0, dot1 = dot0 * m0, dot1 * m1
-                    dix = dix + wk * (tw["dwx0"] * dot0 + tw["dwx1"] * dot1)
-                    diy = diy + dk * (tw["wx0"] * dot0 + tw["wx1"] * dot1)
-                    return dix, diy
-
-                return jax.lax.fori_loop(qmin, qmax + 1, q_body, acc)
+            def g_body(g, acc):
+                dix, diy = acc
+                blks = [
+                    win_vmem[pl.ds(g * 8, 8), pl.ds((tq + dq) * LANE, LANE)]
+                    for dq in dqs
+                ]
+                for kk in range(8):
+                    kf = (g * 8 + kk).astype(jnp.float32)
+                    sel_a = (ra == kf).astype(jnp.float32)
+                    sel_b = (ra == kf - 1.0).astype(jnp.float32)
+                    wk = tw["wy0"] * sel_a + tw["wy1"] * sel_b
+                    dk = tw["dwy0"] * sel_a + tw["dwy1"] * sel_b
+                    for dq, blk in zip(dqs, blks):
+                        row = jnp.broadcast_to(blk[kk : kk + 1], (8, LANE))
+                        g0, m0 = _fetch_cols(row, f0, dq)
+                        g1, m1 = _fetch_cols(row, f1, dq)
+                        dot0 = jnp.zeros((8, LANE), jnp.float32)
+                        dot1 = jnp.zeros((8, LANE), jnp.float32)
+                        for gt, c0, c1 in zip(
+                            gts, _unpack_u8rgb(g0), _unpack_u8rgb(g1)
+                        ):
+                            dot0 = dot0 + gt * c0
+                            dot1 = dot1 + gt * c1
+                        dot0, dot1 = dot0 * m0, dot1 * m1
+                        dix = dix + wk * (tw["dwx0"] * dot0 + tw["dwx1"] * dot1)
+                        diy = diy + dk * (tw["wx0"] * dot0 + tw["wx1"] * dot1)
+                return dix, diy
 
             zero = jnp.zeros((8, LANE), jnp.float32)
-            dix, diy = jax.lax.fori_loop(kmin, kmax + 1, k_body, (zero, zero))
+            dix, diy = jax.lax.fori_loop(gmin, gmax + 1, g_body, (zero, zero))
             # weight_sum cotangent (no fetch): wsum = (wy0+wy1)(wx0+wx1)
             wy = tw["wy0"] + tw["wy1"]
             wx = tw["wx0"] + tw["wx1"]
@@ -245,10 +275,18 @@ def _bwd_kernel(
 
 
 def _band_starts(iy, h, win, brows):
-    """[B, nbands] i32 window start rows from the UNPADDED source rows."""
+    """[B, nbands] i32 window start rows DIVIDED BY 8, from UNPADDED rows.
+
+    Starts are floored to a multiple of 8 and stored as start//8: Mosaic's
+    index prover requires the DMA's sublane offset to be divisible by the
+    (8,128) tiling, and only an explicit ``s8*8`` expression in the kernel
+    satisfies it. Flooring moves the window UP by <=7 rows (absorbed by
+    the win-row window).
+    """
     b, ho, _ = iy.shape
     m = jnp.min(iy.reshape(b, ho // brows, -1), axis=-1)
-    return jnp.clip(jnp.floor(m), 0.0, float(max(h - win, 0))).astype(jnp.int32)
+    s = jnp.clip(jnp.floor(m), 0.0, float(max(h - win, 0))).astype(jnp.int32)
+    return s // 8
 
 
 def _pack_u8rgb(src):
@@ -368,7 +406,7 @@ def kernel_enabled() -> bool:
 
 
 def warp_gather_u8rgb(
-    src_u8, ix, iy, *, out_dtype=jnp.bfloat16, win=64, brows=32,
+    src_u8, ix, iy, *, out_dtype=jnp.bfloat16, win=96, brows=32,
     interpret=None,
 ):
     """Bilinear-sample uint8 RGB [B,H,W,3] at absolute pixel coordinates.
