@@ -63,3 +63,35 @@ def test_train_e2e_geom_with_resume(tiny_prepared, tmp_path):
     train(cfg2)
     steps_after = {d for d in os.listdir(ckpt_dir) if d.isdigit()}
     assert "4" in steps_after
+
+
+def test_train_e2e_flow_occ_schedule(tiny_prepared, tmp_path, capsys):
+    """Occlusion schedule: the step loop switches splat_nn -> splat at the
+    boundary, including when a resume lands PAST it (the >= path)."""
+    from train import train
+
+    model_dir = str(tmp_path / "run_occ")
+    cfg = Config(
+        mode="flow",
+        img_hw=(64, 128),
+        batch_size=2,
+        num_iterations=3,
+        num_workers=2,
+        log_interval=1,
+        test_interval=0,
+        save_interval=2,
+        prepared_base_dir=tiny_prepared,
+        model_dir=model_dir,
+        compute_dtype="float32",
+        num_devices=2,
+        flow_occ_impl="splat_nn",
+        flow_occ_switch_step=2,
+    )
+    train(cfg)
+    assert "switching to flow_occ_impl=splat" in capsys.readouterr().out
+    # resume at step 3 (past the boundary): the switch must re-fire
+    cfg2 = cfg.replace(resume=True, num_iterations=4)
+    train(cfg2)
+    assert "switching to flow_occ_impl=splat" in capsys.readouterr().out
+    steps_after = {d for d in os.listdir(os.path.join(model_dir, "ckpt")) if d.isdigit()}
+    assert "4" in steps_after

@@ -219,7 +219,9 @@ def train(cfg: Config):
     for batch_np in loader:
         if step >= cfg.num_iterations:
             break
-        if occ_switch and step == occ_switch:
+        # >= (not ==): a resume landing past the boundary must still switch
+        if occ_switch and step >= occ_switch:
+            occ_switch = 0
             cfg_tail = cfg.replace(flow_occ_impl="splat")
             step_fn = make_train_step(build_model(cfg_tail), cfg_tail, tx, mesh=mesh)
             if is_main:
