@@ -18,6 +18,7 @@ import numpy as np
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_tpu")
 
 from unsupervised_depth_opticalflow_egomotion_tpu.ops.pallas.warp_window import (
+    warp_gather_bf16x3,
     warp_gather_u8rgb,
 )
 from unsupervised_depth_opticalflow_egomotion_tpu.ops.warp import (
@@ -49,10 +50,15 @@ def bench(fn, *args, iters=30):
 
 
 def main():
+    # usage: bench_warp_window.py [B] [bf16]
     b = int(sys.argv[1]) if len(sys.argv) > 1 else 16
-    h, w = 256, 832
+    bf16 = len(sys.argv) > 2 and sys.argv[2] == "bf16"
+    h, w = (128, 416) if bf16 else (256, 832)  # bf16 = the scale-1 shape
     rng = np.random.RandomState(0)
     src = jnp.asarray(rng.randint(0, 256, (b, h, w, 3), np.uint8))
+    if bf16:
+        src = (src.astype(jnp.float32) / 255.0).astype(jnp.bfloat16)
+    gather = warp_gather_bf16x3 if bf16 else warp_gather_u8rgb
     fu, fv = smooth_flow(rng, b, h, w, umax=80.0, vmax=20.0)
     grid = pixel_grid(h, w)
     ix = grid[None, :, :, 0] + fu
@@ -65,7 +71,7 @@ def main():
 
     @jax.jit
     def pallas_fwd(src, ix, iy):
-        return warp_gather_u8rgb(src, ix, iy)
+        return gather(src, ix, iy, out_dtype=jnp.bfloat16)
 
     def loss_xla(coords):
         o, ws = grid_sample_with_weight(src, coords, out_dtype=jnp.bfloat16)
@@ -74,7 +80,7 @@ def main():
         )
 
     def loss_pal(ix, iy):
-        o, ws = warp_gather_u8rgb(src, ix, iy)
+        o, ws = gather(src, ix, iy, out_dtype=jnp.bfloat16)
         return jnp.sum(o.astype(jnp.float32) ** 2) + jnp.sum(
             ws.astype(jnp.float32)
         )

@@ -200,3 +200,79 @@ class TestSamplerIntegration:
         finally:
             warp.set_warp_impl("xla")
         np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+
+class TestBf16Source:
+    """bf16 3-channel DATA sources (the scale>=1 photometric pyramids)."""
+
+    def _mk_bf16(self, **kw):
+        src, ix, iy = _mk(**kw)
+        return (src.astype(jnp.float32) / 255.0).astype(jnp.bfloat16), ix, iy
+
+    def test_forward_parity(self):
+        from unsupervised_depth_opticalflow_egomotion_tpu.ops.pallas.warp_window import (
+            warp_gather_bf16x3,
+        )
+
+        src, ix, iy = self._mk_bf16()
+        out, wsum = warp_gather_bf16x3(
+            src, ix, iy, out_dtype=jnp.float32, interpret=True
+        )
+        ref, ref_w = _xla_ref(src.astype(jnp.float32), ix, iy)
+        # kernel accumulates the bf16 taps in f32; XLA path in f32 too here
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+        np.testing.assert_allclose(np.asarray(wsum), np.asarray(ref_w), atol=2e-5)
+
+    def test_coord_grads(self):
+        from unsupervised_depth_opticalflow_egomotion_tpu.ops.pallas.warp_window import (
+            warp_gather_bf16x3,
+        )
+
+        src, ix, iy = self._mk_bf16(h=64, dy=12.0, seed=3)
+        ix, iy = ix + 0.25, iy + 0.25
+
+        def loss_p(ix, iy):
+            o, ws = warp_gather_bf16x3(
+                src, ix, iy, out_dtype=jnp.float32, interpret=True
+            )
+            return jnp.sum(o * o) + 0.3 * jnp.sum(ws * ws)
+
+        def loss_x(ix, iy):
+            o, ws = _xla_ref(src.astype(jnp.float32), ix, iy)
+            return jnp.sum(o * o) + 0.3 * jnp.sum(ws * ws)
+
+        gp = jax.grad(loss_p, argnums=(0, 1))(ix, iy)
+        gx = jax.grad(loss_x, argnums=(0, 1))(ix, iy)
+        np.testing.assert_allclose(np.asarray(gp[0]), np.asarray(gx[0]), atol=1e-3)
+        np.testing.assert_allclose(np.asarray(gp[1]), np.asarray(gx[1]), atol=1e-3)
+
+    def test_sampler_gates_on_src_is_data(self):
+        """Float sources WITHOUT src_is_data must keep the XLA path (they
+        may be network activations needing source gradients)."""
+        from unsupervised_depth_opticalflow_egomotion_tpu.ops import warp
+        from unsupervised_depth_opticalflow_egomotion_tpu.ops.pallas import (
+            warp_window,
+        )
+
+        src, ix, iy = self._mk_bf16(seed=7)
+        h, w = src.shape[1:3]
+        coords = normalize_coords(jnp.stack([ix, iy], -1), h, w)
+        ref, _ = grid_sample_with_weight(src, coords, out_dtype=jnp.float32)
+        warp.set_warp_impl("pallas", bf16=True)
+        warp_window._FORCE_INTERPRET = True
+        try:
+            # src_is_data=False: XLA path -> identical values
+            out_x, _ = grid_sample_with_weight(src, coords, out_dtype=jnp.float32)
+            np.testing.assert_array_equal(np.asarray(out_x), np.asarray(ref))
+            # src_is_data=True: kernel path -> allclose (f32 accumulation
+            # differs from the XLA bf16-tap products)
+            out_k, _ = grid_sample_with_weight(
+                src, coords, out_dtype=jnp.float32, src_is_data=True
+            )
+            assert np.abs(np.asarray(out_k) - np.asarray(ref)).max() > 0.0
+            np.testing.assert_allclose(
+                np.asarray(out_k), np.asarray(ref), atol=8e-3
+            )
+        finally:
+            warp.set_warp_impl("xla", bf16=False)
+            warp_window._FORCE_INTERPRET = False

@@ -78,6 +78,10 @@ class Config:
     # XLA sampler in tests/test_warp_window.py, displacement clamped beyond
     # +-128 px horizontal / 53 px per-band vertical variation); float
     # sources and off-TPU backends keep the XLA path either way.
+    warp_bf16: bool = False  # extend the Pallas warp kernel to bf16
+    # 3-channel DATA sources (the scale>=1 photometric image pyramids;
+    # bf16 bit pairs packed into i32 words, 2 gathers/tap). Off until the
+    # hardware speedup lands in PERF.md; parity in tests/test_warp_window.
     ssim_impl: str = "pallas"  # "xla" | "pallas": SSIM map impl. "pallas" =
     # the fused single-pass fwd+bwd kernel (ops/pallas/ssim_fused.py) on
     # planes where it measures faster (>=128x416; hardware table in PERF.md),

@@ -226,7 +226,8 @@ class JointModel(nn.Module):
                 else jnp.concatenate([il, ir], 0)
             )
             warped2.append(
-                warp_flow(src, jnp.concatenate([fb, ff], 0), True, out_dtype=self.dtype)
+                warp_flow(src, jnp.concatenate([fb, ff], 0), True,
+                          out_dtype=self.dtype, src_is_data=True)
             )
         warped_from_l = [x[:bsz] for x in warped2]
         warped_from_r = [x[bsz:] for x in warped2]
@@ -453,7 +454,8 @@ class JointModel(nn.Module):
         warped2 = []
         for s, (il, ir, f2) in enumerate(zip(img_l_pyr, img_r_pyr, flows2)):
             src = cat2(raw[0], raw[2]) if s == 0 and raw is not None else cat2(il, ir)
-            warped2.append(warp_flow(src, f2, use_mask=True, out_dtype=self.dtype))
+            warped2.append(warp_flow(src, f2, use_mask=True, out_dtype=self.dtype,
+                                     src_is_data=True))
         warped_from_l, warped_from_r = zip(*(split2(x) for x in warped2))
         occ_bwd, occ_fwd, valid_bwd, valid_fwd = M.occlusion_weights(
             warped_from_l, img_pyr, warped_from_r

@@ -210,8 +210,9 @@ def inverse_warp2(
         # projected_depth feeds only the depth-consis loss (disabled in the
         # reference's live config, model_geometry.py:897-899); skipping the
         # sample avoids a gather whose backward is a scatter-add (ref_depth
-        # is network output).
-        projected_img = grid_sample(img, coords)
+        # is network output). img is a camera frame by contract, so the
+        # data-source kernel path applies (no source gradient needed).
+        projected_img = grid_sample(img, coords, src_is_data=True)
         return projected_img, valid, None, computed_depth
     # img and ref_depth are sampled at identical coords: one fused gather
     # (4-channel slices) instead of two.

@@ -72,7 +72,7 @@ def multiscale_recon_dynamic(
             recs.append(grid_sample(ref_img_u8, coords, out_dtype=ref_img.dtype))
             pdepths.append(None)
         else:
-            recs.append(grid_sample(ref_scaled, coords))
+            recs.append(grid_sample(ref_scaled, coords, src_is_data=True))
             pdepths.append(None)
         valids.append(valid.astype(ref_scaled.dtype))
         cdepths.append(cdepth)

@@ -97,6 +97,28 @@ def _unpack_u8rgb(g):
     )
 
 
+def _bf16_lo(g):
+    """f32 value of the bf16 packed in an i32 word's LOW half."""
+    return jax.lax.bitcast_convert_type(g << 16, jnp.float32)
+
+
+def _bf16_hi(g):
+    """f32 value of the bf16 packed in an i32 word's HIGH half."""
+    return jax.lax.bitcast_convert_type(g & jnp.int32(-65536), jnp.float32)
+
+
+def _unpack_taps(gs, fmt):
+    """Per-plane gathered i32 words -> 3 f32 channels.
+
+    fmt "u8rgb": one plane, R|G<<8|B<<16 in [0,255] (caller scales 1/255).
+    fmt "bf16x3": two planes, ch0|ch1<<16 and ch2 as bf16 bit pairs (a
+    bf16's f32 value is its bits shifted into the f32 high half).
+    """
+    if fmt == "u8rgb":
+        return _unpack_u8rgb(gs[0])
+    return (_bf16_lo(gs[0]), _bf16_hi(gs[0]), _bf16_lo(gs[1]))
+
+
 def _tile_weights(ixt, iyt, h, w, s):
     """Per-tile index/weight planes shared by the fwd and bwd kernels."""
     ys, wy0, wy1, dwy0, dwy1 = _pos_weights(iyt, h)
@@ -127,19 +149,18 @@ def _tile_dqs(tq, wp):
     return [dq for dq in (-1, 0, 1) if 0 <= tq + dq < wp // LANE]
 
 
-def _fetch_cols(row_blk, foff, dq):
-    """Per-lane fetch at tile-relative column offset ``foff`` from block dq.
-
-    Returns (g i32 [8,128], in-block mask f32)."""
+def _fetch_idx(foff, dq):
+    """Lane indices + in-block mask for tile-relative column offset ``foff``
+    against block dq. Returns (rc i32 [8,128] in [0,127], mask f32)."""
     r = foff - float(dq * LANE)
     m = ((r >= 0) & (r <= LANE - 1)).astype(jnp.float32)
     rc = jnp.clip(r, 0.0, float(LANE - 1)).astype(jnp.int32)
-    return jnp.take_along_axis(row_blk, rc, axis=1), m
+    return rc, m
 
 
 def _fwd_kernel(
     s_ref, words_ref, ix_ref, iy_ref, out_ref, win_vmem, sem,
-    *, h, w, wp, win, brows,
+    *, h, w, wp, win, brows, fmt,
 ):
     bi = pl.program_id(0)
     band = pl.program_id(1)
@@ -152,7 +173,8 @@ def _fwd_kernel(
     )
     cdma.start()
     cdma.wait()
-    scale = jnp.float32(1.0 / 255.0)
+    npl = 1 if fmt == "u8rgb" else 2  # word planes, stored side by side
+    scale = jnp.float32(1.0 / 255.0 if fmt == "u8rgb" else 1.0)
 
     for ti in range(brows // 8):
         for tq in range(wp // LANE):
@@ -170,7 +192,13 @@ def _fwd_kernel(
 
             def g_body(g, acc):
                 blks = [
-                    win_vmem[pl.ds(g * 8, 8), pl.ds((tq + dq) * LANE, LANE)]
+                    [
+                        win_vmem[
+                            pl.ds(g * 8, 8),
+                            pl.ds((p * (wp // LANE) + tq + dq) * LANE, LANE),
+                        ]
+                        for p in range(npl)
+                    ]
                     for dq in dqs
                 ]
                 for kk in range(8):
@@ -178,15 +206,24 @@ def _fwd_kernel(
                     wk = tw["wy0"] * (ra == kf) + tw["wy1"] * (ra == kf - 1.0)
                     w0 = wk * tw["wx0"]
                     w1 = wk * tw["wx1"]
-                    for dq, blk in zip(dqs, blks):
-                        row = jnp.broadcast_to(blk[kk : kk + 1], (8, LANE))
-                        g0, m0 = _fetch_cols(row, f0, dq)
-                        g1, m1 = _fetch_cols(row, f1, dq)
+                    for dq, pblks in zip(dqs, blks):
+                        rows = [
+                            jnp.broadcast_to(b[kk : kk + 1], (8, LANE))
+                            for b in pblks
+                        ]
+                        rc0, m0 = _fetch_idx(f0, dq)
+                        rc1, m1 = _fetch_idx(f1, dq)
+                        t0 = _unpack_taps(
+                            [jnp.take_along_axis(r, rc0, axis=1) for r in rows],
+                            fmt,
+                        )
+                        t1 = _unpack_taps(
+                            [jnp.take_along_axis(r, rc1, axis=1) for r in rows],
+                            fmt,
+                        )
                         acc = tuple(
                             a + (w0 * m0) * c0 + (w1 * m1) * c1
-                            for a, c0, c1 in zip(
-                                acc, _unpack_u8rgb(g0), _unpack_u8rgb(g1)
-                            )
+                            for a, c0, c1 in zip(acc, t0, t1)
                         )
                 return acc
 
@@ -203,7 +240,7 @@ def _fwd_kernel(
 
 def _bwd_kernel(
     s_ref, words_ref, ix_ref, iy_ref, gout_ref, gw_ref, dix_ref, diy_ref,
-    win_vmem, sem, *, h, w, wp, win, brows,
+    win_vmem, sem, *, h, w, wp, win, brows, fmt,
 ):
     bi = pl.program_id(0)
     band = pl.program_id(1)
@@ -215,7 +252,8 @@ def _bwd_kernel(
     )
     cdma.start()
     cdma.wait()
-    scale = jnp.float32(1.0 / 255.0)
+    npl = 1 if fmt == "u8rgb" else 2
+    scale = jnp.float32(1.0 / 255.0 if fmt == "u8rgb" else 1.0)
 
     for ti in range(brows // 8):
         for tq in range(wp // LANE):
@@ -238,7 +276,13 @@ def _bwd_kernel(
             def g_body(g, acc):
                 dix, diy = acc
                 blks = [
-                    win_vmem[pl.ds(g * 8, 8), pl.ds((tq + dq) * LANE, LANE)]
+                    [
+                        win_vmem[
+                            pl.ds(g * 8, 8),
+                            pl.ds((p * (wp // LANE) + tq + dq) * LANE, LANE),
+                        ]
+                        for p in range(npl)
+                    ]
                     for dq in dqs
                 ]
                 for kk in range(8):
@@ -247,15 +291,24 @@ def _bwd_kernel(
                     sel_b = (ra == kf - 1.0).astype(jnp.float32)
                     wk = tw["wy0"] * sel_a + tw["wy1"] * sel_b
                     dk = tw["dwy0"] * sel_a + tw["dwy1"] * sel_b
-                    for dq, blk in zip(dqs, blks):
-                        row = jnp.broadcast_to(blk[kk : kk + 1], (8, LANE))
-                        g0, m0 = _fetch_cols(row, f0, dq)
-                        g1, m1 = _fetch_cols(row, f1, dq)
+                    for dq, pblks in zip(dqs, blks):
+                        rows = [
+                            jnp.broadcast_to(b[kk : kk + 1], (8, LANE))
+                            for b in pblks
+                        ]
+                        rc0, m0 = _fetch_idx(f0, dq)
+                        rc1, m1 = _fetch_idx(f1, dq)
+                        t0 = _unpack_taps(
+                            [jnp.take_along_axis(r, rc0, axis=1) for r in rows],
+                            fmt,
+                        )
+                        t1 = _unpack_taps(
+                            [jnp.take_along_axis(r, rc1, axis=1) for r in rows],
+                            fmt,
+                        )
                         dot0 = jnp.zeros((8, LANE), jnp.float32)
                         dot1 = jnp.zeros((8, LANE), jnp.float32)
-                        for gt, c0, c1 in zip(
-                            gts, _unpack_u8rgb(g0), _unpack_u8rgb(g1)
-                        ):
+                        for gt, c0, c1 in zip(gts, t0, t1):
                             dot0 = dot0 + gt * c0
                             dot1 = dot1 + gt * c1
                         dot0, dot1 = dot0 * m0, dot1 * m1
@@ -294,6 +347,20 @@ def _pack_u8rgb(src):
     return s[..., 0] | (s[..., 1] << 8) | (s[..., 2] << 16)
 
 
+def _pack_bf16x3(src, wp):
+    """bf16 [B,H,W,3] -> i32 [B,H,2*wp]: plane0 = ch0|ch1<<16, plane1 = ch2.
+
+    The two word planes sit side by side on the padded width so one DMA
+    moves both; the kernel addresses plane p at column block offset
+    p*(wp//LANE)."""
+    bits = jax.lax.bitcast_convert_type(
+        src.astype(jnp.bfloat16), jnp.uint16
+    ).astype(jnp.int32)
+    p0 = bits[..., 0] | (bits[..., 1] << 16)
+    p1 = bits[..., 2]
+    return jnp.concatenate([_pad_last(p0, wp), _pad_last(p1, wp)], axis=-1)
+
+
 def _coord_specs(brows, wp):
     return pl.BlockSpec((1, brows, wp), lambda b, i, s: (b, i, 0))
 
@@ -313,7 +380,7 @@ def _warp_window_u8(words, ix, iy, src_hw, cfg):
 
 def _warp_u8_fwd(words, ix, iy, src_hw, cfg):
     h, w = src_hw
-    win, brows, out_dtype, interpret = cfg
+    win, brows, out_dtype, interpret, fmt = cfg
     b, ho, wo = ix.shape
     wp = _round_up(wo, LANE)
     wpw = words.shape[-1]
@@ -321,7 +388,7 @@ def _warp_u8_fwd(words, ix, iy, src_hw, cfg):
     ixp = _pad_last(ix, wp, -2.0)
     iyp = _pad_last(iy, wp, -2.0)
     kern = functools.partial(
-        _fwd_kernel, h=h, w=w, wp=wp, win=win, brows=brows
+        _fwd_kernel, h=h, w=w, wp=wp, win=win, brows=brows, fmt=fmt
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -349,7 +416,7 @@ def _warp_u8_fwd(words, ix, iy, src_hw, cfg):
 def _warp_u8_bwd(src_hw, cfg, res, g):
     words, ix, iy = res
     h, w = src_hw
-    win, brows, _out_dtype, interpret = cfg
+    win, brows, _out_dtype, interpret, fmt = cfg
     b, ho, wo = ix.shape
     wp = _round_up(wo, LANE)
     wpw = words.shape[-1]
@@ -358,7 +425,7 @@ def _warp_u8_bwd(src_hw, cfg, res, g):
     iyp = _pad_last(iy, wp, -2.0)
     gp = _pad_last(g.astype(jnp.float32), wp)
     kern = functools.partial(
-        _bwd_kernel, h=h, w=w, wp=wp, win=win, brows=brows
+        _bwd_kernel, h=h, w=w, wp=wp, win=win, brows=brows, fmt=fmt
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -405,6 +472,33 @@ def kernel_enabled() -> bool:
     return jax.default_backend() not in ("cpu", "gpu") or _FORCE_INTERPRET
 
 
+def _warp_window_call(words, src_hw, ix, iy, out_dtype, win, brows,
+                      interpret, fmt):
+    h, w = src_hw
+    _, ho, wo = ix.shape
+    # the kernel's fetch blocks are tile-relative: output and source widths
+    # must share the padded-lane layout (all model warps are same-res)
+    assert wo == w, (wo, w)
+    if interpret is None:
+        interpret = jax.default_backend() in ("cpu", "gpu")
+    win = min(win, _round_up(h, 8))
+    brows = min(brows, ho)
+    while ho % brows:
+        brows //= 2
+    if brows % 8:
+        raise ValueError(f"output rows {ho} not a multiple of 8")
+    planes = _warp_window_u8(
+        words,
+        ix.astype(jnp.float32),
+        iy.astype(jnp.float32),
+        (h, w),
+        (win, brows, jnp.dtype(out_dtype).name, interpret, fmt),
+    )
+    rgb = jnp.transpose(planes[:, :3, :, :wo], (0, 2, 3, 1))
+    wsum = jnp.transpose(planes[:, 3:4, :, :wo], (0, 2, 3, 1))
+    return rgb, wsum
+
+
 def warp_gather_u8rgb(
     src_u8, ix, iy, *, out_dtype=jnp.bfloat16, win=96, brows=32,
     interpret=None,
@@ -419,23 +513,31 @@ def warp_gather_u8rgb(
     """
     b, h, w, c = src_u8.shape
     assert c == 3, src_u8.shape
-    _, ho, wo = ix.shape
-    if interpret is None:
-        interpret = jax.default_backend() in ("cpu", "gpu")
-    win = min(win, _round_up(h, 8))
-    brows = min(brows, ho)
-    while ho % brows:
-        brows //= 2
-    if brows % 8:
-        raise ValueError(f"output rows {ho} not a multiple of 8")
     words = _pad_last(_pack_u8rgb(src_u8), _round_up(w, LANE))
-    planes = _warp_window_u8(
-        words,
-        ix.astype(jnp.float32),
-        iy.astype(jnp.float32),
-        (h, w),
-        (win, brows, jnp.dtype(out_dtype).name, interpret),
+    return _warp_window_call(
+        words, (h, w), ix, iy, out_dtype, win, brows, interpret, "u8rgb"
     )
-    rgb = jnp.transpose(planes[:, :3, :, :wo], (0, 2, 3, 1))
-    wsum = jnp.transpose(planes[:, 3:4, :, :wo], (0, 2, 3, 1))
-    return rgb, wsum
+
+
+def warp_gather_bf16x3(
+    src, ix, iy, *, out_dtype=None, win=96, brows=32, interpret=None,
+):
+    """Bilinear-sample a bf16 3-channel DATA image at pixel coordinates.
+
+    Same contract as :func:`warp_gather_u8rgb` for bf16 sources (the
+    scale>=1 photometric image pyramids, which are resized camera frames):
+    channels are packed as bf16 bit pairs into i32 words so the same
+    windowed dynamic-gather kernel applies — two word planes, so 2 gathers
+    per tap vs uint8's 1. Gradients flow to ix/iy ONLY: callers must NOT
+    use this for network-produced sources (feature warps); the sampler
+    wrapper gates it behind an explicit ``src_is_data`` flag.
+    """
+    b, h, w, c = src.shape
+    assert c == 3, src.shape
+    if out_dtype is None:
+        out_dtype = src.dtype
+    wp = _round_up(w, LANE)
+    words = _pack_bf16x3(src, wp)
+    return _warp_window_call(
+        words, (h, w), ix, iy, out_dtype, win, brows, interpret, "bf16x3"
+    )

@@ -43,12 +43,20 @@ _CONVENTION = "exact"
 # Set from Config.warp_impl by parallel.train_step.build_model.
 _WARP_IMPL = "xla"
 
+# Extends the Pallas kernel path to bf16 3-channel DATA sources (the
+# scale>=1 photometric image pyramids; call sites declare src_is_data).
+# Default off until flipped by Config.warp_bf16 (hardware-verified speedups
+# in PERF.md).
+_WARP_BF16 = False
 
-def set_warp_impl(impl: str) -> None:
-    global _WARP_IMPL
+
+def set_warp_impl(impl: str, bf16: bool | None = None) -> None:
+    global _WARP_IMPL, _WARP_BF16
     if impl not in ("xla", "pallas"):
         raise ValueError(f"unknown warp_impl {impl!r}")
     _WARP_IMPL = impl
+    if bf16 is not None:
+        _WARP_BF16 = bf16
 
 
 @contextmanager
@@ -102,7 +110,9 @@ def _tap_weights(i, size):
     return start.astype(jnp.int32), pos_weight(0), pos_weight(1)
 
 
-def grid_sample_with_weight_multi(img: jax.Array, coords_list, out_dtype=None):
+def grid_sample_with_weight_multi(
+    img: jax.Array, coords_list, out_dtype=None, src_is_data=False
+):
     """Bilinear sample SEVERAL coordinate sets from one shared tap table.
 
     Each coords in ``coords_list`` is [B,Ho,Wo,2] (same Ho,Wo across sets);
@@ -140,13 +150,29 @@ def grid_sample_with_weight_multi(img: jax.Array, coords_list, out_dtype=None):
         dtype = img.dtype if out_dtype is None else jnp.dtype(out_dtype)
         scale = 1.0
 
-    if is_u8 and c == 3 and _WARP_IMPL == "pallas" and h % 8 == 0:
-        from .pallas.warp_window import kernel_enabled, warp_gather_u8rgb
+    # windowed Pallas kernel paths (ops/pallas/warp_window.py): uint8 RGB
+    # always qualifies (integer sources carry no gradient); bf16 3-channel
+    # qualifies only when the caller declares the source is DATA (an image,
+    # not a network activation) via src_is_data -- the kernel's VJP flows
+    # gradients to the coordinates only.
+    kernel_ok = (
+        c == 3
+        and _WARP_IMPL == "pallas"
+        and h % 8 == 0
+        and (is_u8 or (_WARP_BF16 and src_is_data and img.dtype == jnp.bfloat16))
+    )
+    if kernel_ok:
+        from .pallas.warp_window import (
+            kernel_enabled,
+            warp_gather_bf16x3,
+            warp_gather_u8rgb,
+        )
 
         results = [] if kernel_enabled() else None
     else:
         results = None
     if results is not None:
+        gather = warp_gather_u8rgb if is_u8 else warp_gather_bf16x3
         for coords in coords_list:
             if _CONVENTION == "torch":
                 ix = (coords[..., 0] + 1.0) * 0.5 * w - 0.5
@@ -154,9 +180,9 @@ def grid_sample_with_weight_multi(img: jax.Array, coords_list, out_dtype=None):
             else:
                 ix = (coords[..., 0] + 1.0) * 0.5 * (w - 1)
                 iy = (coords[..., 1] + 1.0) * 0.5 * (h - 1)
-            if ix.shape[1] % 8 or ix.shape[2] < 128:
+            if ix.shape[1] % 8 or ix.shape[2] != w or w < 128:
                 break  # unsupported output shape: all sets take the XLA path
-            out, wsum = warp_gather_u8rgb(img, ix, iy, out_dtype=dtype)
+            out, wsum = gather(img, ix, iy, out_dtype=dtype)
             results.append((out, wsum))
         else:
             return results
@@ -210,19 +236,29 @@ def grid_sample_with_weight_multi(img: jax.Array, coords_list, out_dtype=None):
     return results
 
 
-def grid_sample_with_weight(img: jax.Array, coords: jax.Array, out_dtype=None):
+def grid_sample_with_weight(
+    img: jax.Array, coords: jax.Array, out_dtype=None, src_is_data=False
+):
     """Bilinear sample + total in-bounds weight (single coordinate set)."""
-    return grid_sample_with_weight_multi(img, [coords], out_dtype=out_dtype)[0]
+    return grid_sample_with_weight_multi(
+        img, [coords], out_dtype=out_dtype, src_is_data=src_is_data
+    )[0]
 
 
-def grid_sample(img: jax.Array, coords: jax.Array, out_dtype=None) -> jax.Array:
+def grid_sample(
+    img: jax.Array, coords: jax.Array, out_dtype=None, src_is_data=False
+) -> jax.Array:
     """Bilinear sample ``img`` [B,H,W,C] at normalized ``coords`` [B,Ho,Wo,2].
 
     coords[..., 0] is x in [-1, 1] (align_corners=True), coords[..., 1] is y.
     Zeros padding outside the image. uint8 sources are normalized to [0,1]
-    after the gather (see grid_sample_with_weight_multi).
+    after the gather (see grid_sample_with_weight_multi). ``src_is_data``
+    declares a float source to be an image (no source gradient needed),
+    unlocking the windowed Pallas kernel for bf16 3-channel sources.
     """
-    return grid_sample_with_weight(img, coords, out_dtype=out_dtype)[0]
+    return grid_sample_with_weight(
+        img, coords, out_dtype=out_dtype, src_is_data=src_is_data
+    )[0]
 
 
 def flow_coords(flow: jax.Array) -> jax.Array:
@@ -237,7 +273,8 @@ def flow_coords(flow: jax.Array) -> jax.Array:
 
 
 def warp_flow(
-    x: jax.Array, flow: jax.Array, use_mask: bool = False, out_dtype=None
+    x: jax.Array, flow: jax.Array, use_mask: bool = False, out_dtype=None,
+    src_is_data: bool = False,
 ) -> jax.Array:
     """Backward-warp ``x`` [B,H,W,C] by optical flow [B,H,W,2].
 
@@ -246,7 +283,9 @@ def warp_flow(
     analytically from the sampling weights. A uint8 ``x`` takes the
     gather-then-normalize fast path (result in ``out_dtype``, default bf16).
     """
-    out, weight = grid_sample_with_weight(x, flow_coords(flow), out_dtype=out_dtype)
+    out, weight = grid_sample_with_weight(
+        x, flow_coords(flow), out_dtype=out_dtype, src_is_data=src_is_data
+    )
     if use_mask:
         mask = jnp.where(weight < 0.9999, 0.0, 1.0).astype(out.dtype)
         return out * mask
