@@ -122,9 +122,11 @@ class JointModel(nn.Module):
     # evaluates on the downscaled grid: at 1 the full-res warp gathers and the
     # full-res decoder head vanish from the train step (XLA prunes the unused
     # scale-0 disp head). The reference always trains at loss scale 0
-    # (model_geometry.py:802-846 evaluates the loss pyramid from full res);
-    # see PERF.md "loss_base_scale" and TRAINING.md geom_fixflow_ls1 for the
-    # measured speed/quality trade.
+    # (model_geometry.py:802-846 evaluates the loss pyramid from full res).
+    # Measured (TRAINING.md geom_fixflow_ls1_r4, 8k-step fixflow recipe):
+    # 1.56x train throughput (93.1 vs 59.6 fps/chip) with pose and frozen
+    # flow unaffected but a real depth cost (AbsRel +22%, a1 -28%) -- a
+    # dial for pose/flow-dominated phases, not a free speedup.
     loss_base_scale: int = 0
     # Weight of the dynamic-region (non-rigid) photometric term relative to
     # the rigid-region one. The reference hard-codes 2x (model_geometry.py's
