@@ -233,6 +233,14 @@ def main():
                          "so multi-hour runs recycle the process every few "
                          "thousand steps via --resume; scripts/run_stage.sh "
                          "wraps the loop")
+    ap.add_argument("--min_fps", type=float, default=5.0,
+                    help="slow-attach watchdog: if three consecutive fps "
+                         "reports (past step 100) fall below this, checkpoint "
+                         "and exit so the run_stage.sh loop re-attaches. A "
+                         "fresh axon relay attach occasionally comes up ~20x "
+                         "slow (48 -> 2.2 fps, measured r4) and stays slow "
+                         "for the life of the process; re-attaching fixes it. "
+                         "0 disables (use for configs legitimately <5 fps)")
     ap.add_argument("--device_data", action=argparse.BooleanOptionalAction,
                     default=True,
                     help="hold the whole prepared set in HBM and ship only "
@@ -426,6 +434,7 @@ def main():
 
     rng = jax.random.fold_in(jax.random.PRNGKey(1), resumed_step)
     step = resumed_step
+    slow_reports = 0
     t_last = time.time()
     last_batch = None
     occ_switch = (
@@ -463,6 +472,12 @@ def main():
                 break
             print(f"[{step}/{args.steps}] total={scalars['loss_total']:.4f} fps={fps:.1f}")
             curves.write(json.dumps(rec) + "\n")
+            if args.min_fps and step - resumed_step > 100:
+                slow_reports = slow_reports + 1 if fps < args.min_fps else 0
+                if slow_reports >= 3:
+                    print(f"[watchdog] fps<{args.min_fps} for 3 reports at "
+                          f"step {step}; checkpointing and exiting to re-attach")
+                    break
 
         variables = None
         if step % args.eval_every == 0 or step == args.steps:
