@@ -19,10 +19,10 @@ import jax
 
 from unsupervised_depth_opticalflow_egomotion_tpu.config import Config, load_config
 from unsupervised_depth_opticalflow_egomotion_tpu.data import (
-    BatchLoader,
     KittiOdoPrep,
     KittiPreparedDataset,
     KittiRawPrep,
+    make_loader,
 )
 from unsupervised_depth_opticalflow_egomotion_tpu import eval_tasks
 from unsupervised_depth_opticalflow_egomotion_tpu.evaluation import (
@@ -170,9 +170,15 @@ def train(cfg: Config):
         shard_id=jax.process_index(),
         num_shards=jax.process_count(),
     )
-    loader = BatchLoader(
-        dataset, local_bsz, shuffle=True, num_workers=cfg.num_workers, seed=cfg.seed
+    loader = make_loader(
+        dataset,
+        local_bsz,
+        impl=cfg.loader_impl,
+        shuffle=True,
+        num_workers=cfg.num_workers,
+        seed=cfg.seed,
     )
+    print(f"input pipeline: {type(loader).__name__}")
 
     eval_ctx = {}
     if cfg.gt_2012_dir:

@@ -48,6 +48,10 @@ class Config:
     batch_size: int = 8
     lr: float = 1e-4
     num_workers: int = 8
+    # host input pipeline: "native" = the C++ decode/resize service
+    # (native/kitti_data_service.cc) over a ctypes ring buffer, "python" =
+    # the threaded cv2 BatchLoader, "auto" = native when buildable
+    loader_impl: str = "auto"
     log_interval: int = 100
     test_interval: int = 2000
     save_interval: int = 2000

@@ -11,6 +11,7 @@ from .loader import (
     read_cam_intrinsic,
     rescale_intrinsics,
 )
+from .native_loader import NativeBatchLoader, make_loader
 
 __all__ = [
     "KittiFlowEval",
@@ -21,6 +22,8 @@ __all__ = [
     "load_nyu_test_data",
     "test_nyu_depth",
     "BatchLoader",
+    "NativeBatchLoader",
+    "make_loader",
     "KittiPreparedDataset",
     "multiscale_intrinsics",
     "read_cam_intrinsic",
