@@ -79,14 +79,21 @@ def main():
             ws.astype(jnp.float32)
         )
 
-    def loss_pal(ix, iy):
-        o, ws = gather(src, ix, iy, out_dtype=jnp.bfloat16)
+    def loss_pal(ix, iy, fused=False):
+        o, ws = gather(src, ix, iy, out_dtype=jnp.bfloat16, fused=fused)
         return jnp.sum(o.astype(jnp.float32) ** 2) + jnp.sum(
             ws.astype(jnp.float32)
         )
 
+    @jax.jit
+    def pallas_fwd_fused(src, ix, iy):
+        return gather(src, ix, iy, out_dtype=jnp.bfloat16, fused=True)
+
     xla_g = jax.jit(jax.grad(loss_xla))
     pal_g = jax.jit(jax.grad(loss_pal, argnums=(0, 1)))
+    pal_gf = jax.jit(
+        jax.grad(lambda a, b: loss_pal(a, b, fused=True), argnums=(0, 1))
+    )
 
     # value check on hardware
     o_x, w_x = xla_fwd(src, coords)
@@ -95,12 +102,28 @@ def main():
     errw = float(jnp.max(jnp.abs(w_x.astype(jnp.float32) - w_p.astype(jnp.float32))))
     print(f"max |out| err={err:.4g}  |wsum| err={errw:.4g}")
 
+    # fused-vs-standalone grad check on hardware
+    g_p = pal_g(ix, iy)
+    g_f = pal_gf(ix, iy)
+    errg = max(
+        float(jnp.max(jnp.abs(a - b))) for a, b in zip(g_p, g_f)
+    )
+    print(f"max fused-vs-standalone grad err={errg:.4g}")
+
     t_xf = bench(xla_fwd, src, coords)
     t_pf = bench(pallas_fwd, src, ix, iy)
+    t_pff = bench(pallas_fwd_fused, src, ix, iy)
     t_xg = bench(xla_g, coords)
     t_pg = bench(pal_g, ix, iy)
-    print(f"[{b},{h},{w}] fwd:      xla {t_xf:.2f} ms   pallas {t_pf:.2f} ms")
-    print(f"[{b},{h},{w}] fwd+bwd:  xla {t_xg:.2f} ms   pallas {t_pg:.2f} ms")
+    t_pgf = bench(pal_gf, ix, iy)
+    print(
+        f"[{b},{h},{w}] fwd:      xla {t_xf:.2f} ms   pallas {t_pf:.2f} ms"
+        f"   fused {t_pff:.2f} ms"
+    )
+    print(
+        f"[{b},{h},{w}] fwd+bwd:  xla {t_xg:.2f} ms   pallas {t_pg:.2f} ms"
+        f"   fused {t_pgf:.2f} ms"
+    )
 
 
 if __name__ == "__main__":

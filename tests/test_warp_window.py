@@ -39,9 +39,9 @@ def _mk(b=2, h=32, w=160, flow_scale=3.0, dy=0.0, dx=0.0, seed=0):
     return jnp.asarray(src), jnp.asarray(ix, jnp.float32), jnp.asarray(iy, jnp.float32)
 
 
-def _check(src, ix, iy, atol=2e-5):
+def _check(src, ix, iy, atol=2e-5, fused=False):
     out, wsum = warp_gather_u8rgb(
-        src, ix, iy, out_dtype=jnp.float32, interpret=True
+        src, ix, iy, out_dtype=jnp.float32, interpret=True, fused=fused
     )
     ref, ref_w = _xla_ref(src, ix, iy)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=atol)
@@ -51,8 +51,9 @@ def _check(src, ix, iy, atol=2e-5):
 
 
 class TestForwardParity:
-    def test_small_flow(self):
-        _check(*_mk())
+    @pytest.mark.parametrize("fused", [False, True])
+    def test_small_flow(self, fused):
+        _check(*_mk(), fused=fused)
 
     def test_zero_flow_identity(self):
         src, ix, iy = _mk(flow_scale=0.0)
@@ -129,8 +130,9 @@ class TestGradParity:
 
         return jax.grad(loss, argnums=(0, 1))(ix, iy)
 
+    @pytest.mark.parametrize("fused", [False, True])
     @pytest.mark.parametrize("dy", [0.0, 12.0])
-    def test_coord_grads(self, dy):
+    def test_coord_grads(self, dy, fused):
         src, ix, iy = _mk(h=64, dy=dy, seed=3)
         # keep away from exact integers: the floor subgradient choice at
         # integer coords legitimately differs between formulations
@@ -138,7 +140,7 @@ class TestGradParity:
         iy = iy + 0.25
         gx, gy = self._grads(
             lambda s, a, b: warp_gather_u8rgb(
-                s, a, b, out_dtype=jnp.float32, interpret=True
+                s, a, b, out_dtype=jnp.float32, interpret=True, fused=fused
             ),
             src, ix, iy,
         )
@@ -148,11 +150,34 @@ class TestGradParity:
         np.testing.assert_allclose(np.asarray(gx), np.asarray(rx), atol=1e-3)
         np.testing.assert_allclose(np.asarray(gy), np.asarray(ry), atol=1e-3)
 
-    def test_grad_out_of_bounds_zero(self):
+    def test_fused_vs_standalone_bwd_exact(self):
+        """The fused-residual backward contracts the SAME per-tap algebra
+        the standalone bwd kernel evaluates: grads should agree to f32
+        roundoff, not just to the XLA-path tolerance."""
+        src, ix, iy = _mk(h=64, dy=12.0, seed=5)
+        ix, iy = ix + 0.25, iy + 0.25
+        g = [
+            self._grads(
+                lambda s, a, b: warp_gather_u8rgb(
+                    s, a, b, out_dtype=jnp.float32, interpret=True, fused=f
+                ),
+                src, ix, iy,
+            )
+            for f in (False, True)
+        ]
+        np.testing.assert_allclose(
+            np.asarray(g[0][0]), np.asarray(g[1][0]), atol=1e-6
+        )
+        np.testing.assert_allclose(
+            np.asarray(g[0][1]), np.asarray(g[1][1]), atol=1e-6
+        )
+
+    @pytest.mark.parametrize("fused", [False, True])
+    def test_grad_out_of_bounds_zero(self, fused):
         src, ix, iy = _mk(dy=500.0)
         gx, gy = self._grads(
             lambda s, a, b: warp_gather_u8rgb(
-                s, a, b, out_dtype=jnp.float32, interpret=True
+                s, a, b, out_dtype=jnp.float32, interpret=True, fused=fused
             ),
             src, ix, iy,
         )

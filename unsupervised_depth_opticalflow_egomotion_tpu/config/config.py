@@ -74,7 +74,7 @@ class Config:
     pwc_corr: str = "fused"  # "xla" | "pallas" | "fused": PWC correlation impl
     # (hardware measurements in PERF.md; "fused" = round-3 channel-major
     # Pallas fwd+bwd kernels, ops/pallas/correlation_fused.py)
-    warp_impl: str = "pallas"  # "xla" | "pallas": bilinear warp sampler for
+    warp_impl: str = "pallas"  # "xla" | "pallas" | "pallas_fused": warp sampler for
     # uint8 RGB sources. "pallas" = the windowed dynamic-gather kernel
     # (ops/pallas/warp_window.py): per-band VMEM source windows + intra-vreg
     # lane shuffles instead of the platform-rate global row gather (geom

@@ -159,9 +159,13 @@ def _fetch_idx(foff, dq):
 
 
 def _fwd_kernel(
-    s_ref, words_ref, ix_ref, iy_ref, out_ref, win_vmem, sem,
-    *, h, w, wp, win, brows, fmt,
+    s_ref, words_ref, ix_ref, iy_ref, out_ref, *rest,
+    h, w, wp, win, brows, fmt, with_grads=False,
 ):
+    if with_grads:
+        dout_ref, win_vmem, sem = rest
+    else:
+        win_vmem, sem = rest
     bi = pl.program_id(0)
     band = pl.program_id(1)
     # s_ref holds start//8: writing the slice offset as s8*8 lets Mosaic's
@@ -203,9 +207,14 @@ def _fwd_kernel(
                 ]
                 for kk in range(8):
                     kf = (g * 8 + kk).astype(jnp.float32)
-                    wk = tw["wy0"] * (ra == kf) + tw["wy1"] * (ra == kf - 1.0)
-                    w0 = wk * tw["wx0"]
-                    w1 = wk * tw["wx1"]
+                    sel_a = (ra == kf).astype(jnp.float32)
+                    sel_b = (ra == kf - 1.0).astype(jnp.float32)
+                    wk = tw["wy0"] * sel_a + tw["wy1"] * sel_b
+                    dk = (
+                        tw["dwy0"] * sel_a + tw["dwy1"] * sel_b
+                        if with_grads
+                        else None
+                    )
                     for dq, pblks in zip(dqs, blks):
                         rows = [
                             jnp.broadcast_to(b[kk : kk + 1], (8, LANE))
@@ -221,14 +230,43 @@ def _fwd_kernel(
                             [jnp.take_along_axis(r, rc1, axis=1) for r in rows],
                             fmt,
                         )
-                        acc = tuple(
-                            a + (w0 * m0) * c0 + (w1 * m1) * c1
-                            for a, c0, c1 in zip(acc, t0, t1)
-                        )
+                        if not with_grads:
+                            w0 = wk * tw["wx0"]
+                            w1 = wk * tw["wx1"]
+                            acc = tuple(
+                                a + (w0 * m0) * c0 + (w1 * m1) * c1
+                                for a, c0, c1 in zip(acc, t0, t1)
+                            )
+                        else:
+                            # masked taps a0/a1 feed the value AND both
+                            # analytic coordinate derivatives (the same
+                            # algebra the standalone bwd kernel contracts
+                            # with the cotangent; here the cotangent is
+                            # deferred to an elementwise XLA backward)
+                            val, ddx, ddy = acc[:3], acc[3:6], acc[6:9]
+                            nv, nx, ny = [], [], []
+                            for v, x_, y_, c0, c1 in zip(
+                                val, ddx, ddy, t0, t1
+                            ):
+                                a0 = m0 * c0
+                                a1 = m1 * c1
+                                nv.append(
+                                    v + wk * (tw["wx0"] * a0 + tw["wx1"] * a1)
+                                )
+                                nx.append(
+                                    x_
+                                    + wk * (tw["dwx0"] * a0 + tw["dwx1"] * a1)
+                                )
+                                ny.append(
+                                    y_
+                                    + dk * (tw["wx0"] * a0 + tw["wx1"] * a1)
+                                )
+                            acc = tuple(nv + nx + ny)
                 return acc
 
             zero = jnp.zeros((8, LANE), jnp.float32)
-            acc = jax.lax.fori_loop(gmin, gmax + 1, g_body, (zero,) * 3)
+            n_acc = 9 if with_grads else 3
+            acc = jax.lax.fori_loop(gmin, gmax + 1, g_body, (zero,) * n_acc)
             for c in range(3):
                 out_ref[0, c, pl.ds(rs, 8), pl.ds(cs, LANE)] = (
                     acc[c] * scale
@@ -236,6 +274,11 @@ def _fwd_kernel(
             out_ref[0, 3, pl.ds(rs, 8), pl.ds(cs, LANE)] = wsum.astype(
                 out_ref.dtype
             )
+            if with_grads:
+                for c in range(6):
+                    dout_ref[0, c, pl.ds(rs, 8), pl.ds(cs, LANE)] = (
+                        acc[3 + c] * scale
+                    )
 
 
 def _bwd_kernel(
@@ -461,6 +504,80 @@ def _warp_u8_bwd(src_hw, cfg, res, g):
 _warp_window_u8.defvjp(_warp_u8_fwd, _warp_u8_bwd)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _warp_window_u8_fused(words, ix, iy, src_hw, cfg):
+    """Fused-residual variant: the forward kernel also emits the analytic
+    per-channel coordinate derivatives (f32), so the backward is a pure
+    elementwise contraction with the cotangent — no second window DMA and
+    no re-gather (the standalone bwd kernel re-fetches every tap)."""
+    return _warp_u8_fused_fwd(words, ix, iy, src_hw, cfg)[0]
+
+
+def _warp_u8_fused_fwd(words, ix, iy, src_hw, cfg):
+    h, w = src_hw
+    win, brows, out_dtype, interpret, fmt = cfg
+    b, ho, wo = ix.shape
+    wp = _round_up(wo, LANE)
+    wpw = words.shape[-1]
+    s_arr = _band_starts(iy, h, win, brows)
+    ixp = _pad_last(ix, wp, -2.0)
+    iyp = _pad_last(iy, wp, -2.0)
+    kern = functools.partial(
+        _fwd_kernel, h=h, w=w, wp=wp, win=win, brows=brows, fmt=fmt,
+        with_grads=True,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b, ho // brows),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            _coord_specs(brows, wp),
+            _coord_specs(brows, wp),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, 4, brows, wp), lambda bb, i, s: (bb, 0, i, 0)),
+            pl.BlockSpec((1, 6, brows, wp), lambda bb, i, s: (bb, 0, i, 0)),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((win, wpw), jnp.int32),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+    )
+    planes, douts = pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((b, 4, ho, wp), jnp.dtype(out_dtype)),
+            jax.ShapeDtypeStruct((b, 6, ho, wp), jnp.float32),
+        ),
+        interpret=interpret,
+    )(s_arr, words, ixp, iyp)
+    return planes, (douts, ix, iy)
+
+
+def _warp_u8_fused_bwd(src_hw, cfg, res, g):
+    douts, ix, iy = res
+    h, w = src_hw
+    b, ho, wo = ix.shape
+    wp = _round_up(wo, LANE)
+    g = g.astype(jnp.float32)
+    # rgb cotangent against the stored analytic derivative planes
+    grgb = g[:, :3, :, :wo]
+    dix = jnp.sum(grgb * douts[:, :3, :, :wo], axis=1)
+    diy = jnp.sum(grgb * douts[:, 3:6, :, :wo], axis=1)
+    # weight_sum cotangent: wsum = (wy0+wy1)(wx0+wx1), analytic from ix/iy
+    _, wy0, wy1, dwy0, dwy1 = _pos_weights(iy, h)
+    _, wx0, wx1, dwx0, dwx1 = _pos_weights(ix, w)
+    gw = g[:, 3, :, :wo]
+    dix = dix + gw * (wy0 + wy1) * (dwx0 + dwx1)
+    diy = diy + gw * (dwy0 + dwy1) * (wx0 + wx1)
+    del wp
+    return None, dix, diy
+
+
+_warp_window_u8_fused.defvjp(_warp_u8_fused_fwd, _warp_u8_fused_bwd)
+
+
 # Off-TPU the wrapper in ops/warp.py keeps the XLA sampler (same math; CPU
 # model tests should not pay interpret-mode cost). The kernel unit tests
 # pass interpret=True explicitly; this flag lets an integration test force
@@ -473,7 +590,7 @@ def kernel_enabled() -> bool:
 
 
 def _warp_window_call(words, src_hw, ix, iy, out_dtype, win, brows,
-                      interpret, fmt):
+                      interpret, fmt, fused=False):
     h, w = src_hw
     _, ho, wo = ix.shape
     # the kernel's fetch blocks are tile-relative: output and source widths
@@ -487,7 +604,8 @@ def _warp_window_call(words, src_hw, ix, iy, out_dtype, win, brows,
         brows //= 2
     if brows % 8:
         raise ValueError(f"output rows {ho} not a multiple of 8")
-    planes = _warp_window_u8(
+    fn = _warp_window_u8_fused if fused else _warp_window_u8
+    planes = fn(
         words,
         ix.astype(jnp.float32),
         iy.astype(jnp.float32),
@@ -501,7 +619,7 @@ def _warp_window_call(words, src_hw, ix, iy, out_dtype, win, brows,
 
 def warp_gather_u8rgb(
     src_u8, ix, iy, *, out_dtype=jnp.bfloat16, win=96, brows=32,
-    interpret=None,
+    interpret=None, fused=False,
 ):
     """Bilinear-sample uint8 RGB [B,H,W,3] at absolute pixel coordinates.
 
@@ -515,12 +633,14 @@ def warp_gather_u8rgb(
     assert c == 3, src_u8.shape
     words = _pad_last(_pack_u8rgb(src_u8), _round_up(w, LANE))
     return _warp_window_call(
-        words, (h, w), ix, iy, out_dtype, win, brows, interpret, "u8rgb"
+        words, (h, w), ix, iy, out_dtype, win, brows, interpret, "u8rgb",
+        fused=fused,
     )
 
 
 def warp_gather_bf16x3(
     src, ix, iy, *, out_dtype=None, win=96, brows=32, interpret=None,
+    fused=False,
 ):
     """Bilinear-sample a bf16 3-channel DATA image at pixel coordinates.
 
@@ -539,5 +659,6 @@ def warp_gather_bf16x3(
     wp = _round_up(w, LANE)
     words = _pack_bf16x3(src, wp)
     return _warp_window_call(
-        words, (h, w), ix, iy, out_dtype, win, brows, interpret, "bf16x3"
+        words, (h, w), ix, iy, out_dtype, win, brows, interpret, "bf16x3",
+        fused=fused,
     )

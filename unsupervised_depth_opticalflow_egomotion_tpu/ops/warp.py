@@ -39,8 +39,10 @@ _CONVENTION = "exact"
 # Warp sampler implementation, flipped at TRACE time (like _CONVENTION):
 # "xla" = quad-packed row gather (this module); "pallas" = the windowed
 # dynamic-gather kernel (ops/pallas/warp_window.py) for uint8 RGB sources
-# with supported shapes -- float sources and odd shapes keep the XLA path.
-# Set from Config.warp_impl by parallel.train_step.build_model.
+# with supported shapes -- float sources and odd shapes keep the XLA path;
+# "pallas_fused" = same kernel with the fused-residual forward (emits the
+# analytic coordinate derivatives so the backward is elementwise, no
+# re-gather). Set from Config.warp_impl by parallel.train_step.build_model.
 _WARP_IMPL = "xla"
 
 # Extends the Pallas kernel path to bf16 3-channel DATA sources (the
@@ -52,7 +54,7 @@ _WARP_BF16 = False
 
 def set_warp_impl(impl: str, bf16: bool | None = None) -> None:
     global _WARP_IMPL, _WARP_BF16
-    if impl not in ("xla", "pallas"):
+    if impl not in ("xla", "pallas", "pallas_fused"):
         raise ValueError(f"unknown warp_impl {impl!r}")
     _WARP_IMPL = impl
     if bf16 is not None:
@@ -157,7 +159,7 @@ def grid_sample_with_weight_multi(
     # gradients to the coordinates only.
     kernel_ok = (
         c == 3
-        and _WARP_IMPL == "pallas"
+        and _WARP_IMPL in ("pallas", "pallas_fused")
         and h % 8 == 0
         and (is_u8 or (_WARP_BF16 and src_is_data and img.dtype == jnp.bfloat16))
     )
@@ -182,7 +184,10 @@ def grid_sample_with_weight_multi(
                 iy = (coords[..., 1] + 1.0) * 0.5 * (h - 1)
             if ix.shape[1] % 8 or ix.shape[2] != w or w < 128:
                 break  # unsupported output shape: all sets take the XLA path
-            out, wsum = gather(img, ix, iy, out_dtype=dtype)
+            out, wsum = gather(
+                img, ix, iy, out_dtype=dtype,
+                fused=_WARP_IMPL == "pallas_fused",
+            )
             results.append((out, wsum))
         else:
             return results
