@@ -309,11 +309,15 @@ def main():
         },
         **extra,
     )
+    from unsupervised_depth_opticalflow_egomotion_tpu.utils import opt_layout_tag
+
     model, state = init_state(cfg, jax.random.PRNGKey(0))
     ckpt = CheckpointManager(os.path.join(args.out, "ckpt"))
+    layout = opt_layout_tag(cfg.fix_flow, cfg.fix_depth, cfg.fix_pose)
+    ckpt_meta = {"opt_layout": layout, "mode": cfg.mode, "img_hw": list(cfg.img_hw)}
     resumed_step = 0
     if args.resume and ckpt.latest_step() is not None:
-        state = ckpt.restore(state)
+        state = ckpt.restore(state, expect_opt_layout=layout)
         resumed_step = int(state.step)
         print(f"resumed from step {resumed_step}")
     # staged hand-off: take the flow nets from the flow-stage checkpoint and
@@ -523,9 +527,9 @@ def main():
                 aux, center, os.path.join(args.out, "images"), step, None,
             )
         if step % 1000 == 0:
-            ckpt.save(step, jax.device_get(state))
+            ckpt.save(step, jax.device_get(state), meta=ckpt_meta)
 
-    ckpt.save(step, jax.device_get(state))
+    ckpt.save(step, jax.device_get(state), meta=ckpt_meta)
     curves.close()
     print("done", step)
 

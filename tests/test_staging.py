@@ -40,3 +40,42 @@ def test_graft_partial_mismatch():
     out = graft_params(target, donor)
     np.testing.assert_array_equal(out["a"], 1.0)
     np.testing.assert_array_equal(out["b"], 0.0)
+
+
+def test_schema_sidecar_roundtrip_and_layout_check(tmp_path):
+    """save(meta=...) writes schema.json; restore(expect_opt_layout=...)
+    rejects a layout mismatch up front with the actionable error."""
+    from unsupervised_depth_opticalflow_egomotion_tpu.utils import opt_layout_tag
+
+    cfg = Config(img_hw=(64, 128), compute_dtype="float32")
+    _, state = init_state(cfg, jax.random.PRNGKey(7))
+    tag = opt_layout_tag(fix_flow=True)
+    assert tag == "multi_transform:flow"
+    assert opt_layout_tag() == "flatten"
+    assert opt_layout_tag(fix_depth=True, fix_pose=True) == "multi_transform:depth+pose"
+
+    ckpt = CheckpointManager(str(tmp_path / "ckpt"))
+    ckpt.save(3, jax.device_get(state), meta={"opt_layout": tag, "mode": "geom"})
+    meta = CheckpointManager(str(tmp_path / "ckpt")).load_meta()
+    assert meta["schema_version"] == 1
+    assert meta["opt_layout"] == tag and meta["mode"] == "geom"
+
+    fresh = CheckpointManager(str(tmp_path / "ckpt"))
+    # matching layout restores fine
+    restored = fresh.restore(jax.device_get(state), expect_opt_layout=tag)
+    assert int(restored.step) == int(state.step)
+    # mismatching layout fails BEFORE orbax, with the actionable message
+    with pytest.raises(RuntimeError, match="optimizer layout"):
+        fresh.restore(jax.device_get(state), expect_opt_layout="flatten")
+
+
+def test_pre_versioning_checkpoint_skips_layout_check(tmp_path):
+    """Checkpoints without a sidecar (rounds 1-3) restore unchecked."""
+    cfg = Config(img_hw=(64, 128), compute_dtype="float32")
+    _, state = init_state(cfg, jax.random.PRNGKey(7))
+    ckpt = CheckpointManager(str(tmp_path / "ckpt"))
+    ckpt.save(1, jax.device_get(state))  # no meta
+    fresh = CheckpointManager(str(tmp_path / "ckpt"))
+    assert fresh.load_meta() is None
+    restored = fresh.restore(jax.device_get(state), expect_opt_layout="flatten")
+    assert int(restored.step) == int(state.step)

@@ -42,6 +42,7 @@ from unsupervised_depth_opticalflow_egomotion_tpu.utils import (
     CheckpointManager,
     MetricLogger,
     graft_params,
+    opt_layout_tag,
 )
 
 
@@ -137,10 +138,12 @@ def train(cfg: Config):
     model, state = init_state(cfg, jax.random.PRNGKey(cfg.seed))
 
     ckpt = CheckpointManager(os.path.join(cfg.model_dir, "ckpt"))
+    layout = opt_layout_tag(cfg.fix_flow, cfg.fix_depth, cfg.fix_pose)
+    ckpt_meta = {"opt_layout": layout, "mode": cfg.mode, "img_hw": list(cfg.img_hw)}
     start_step = 0
     if cfg.resume:
         step = cfg.iter_start if cfg.iter_start > 0 else None
-        state = ckpt.restore(state, step)
+        state = ckpt.restore(state, step, expect_opt_layout=layout)
         start_step = int(state.step)
         print(f"resumed from step {start_step}")
     else:
@@ -276,11 +279,11 @@ def train(cfg: Config):
             # state is device_get to host numpy first, so the save is a
             # plain single-writer file write (every process holds the same
             # replica; only main writes)
-            ckpt.save(step, local_replica(state))
+            ckpt.save(step, local_replica(state), meta=ckpt_meta)
             logger.dump()
 
     if is_main:
-        ckpt.save(step, local_replica(state))
+        ckpt.save(step, local_replica(state), meta=ckpt_meta)
     logger.close()
     print("training done")
 

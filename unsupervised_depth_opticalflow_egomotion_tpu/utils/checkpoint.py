@@ -5,29 +5,95 @@ rolling last.pth) and the flow->depth->geom stage hand-off via partial
 ``load_state_dict(strict=False)`` (train.py:36-55): here a stage checkpoint's
 params are grafted sub-tree-by-sub-tree onto a fresh state, keys that don't
 exist in the donor are left at their fresh init.
+
+Schema versioning: each save writes a ``schema.json`` sidecar next to the
+step directories recording the checkpoint schema version, the optimizer-
+state layout tag, and any caller metadata (freezing flags, config digest).
+Restores check the layout tag against the caller's template up front, so a
+layout mismatch fails with the actual cause instead of an orbax tree error.
 """
 
 from __future__ import annotations
 
+import json
 import os
 from typing import Any, Optional
 
 import jax
 import orbax.checkpoint as ocp
 
+SCHEMA_VERSION = 1
+
+
+def _is_remote(path: str) -> bool:
+    return "://" in path  # gs://, s3:// ... handled by tensorstore inside orbax
+
+
+def opt_layout_tag(fix_flow: bool = False, fix_depth: bool = False,
+                   fix_pose: bool = False) -> str:
+    """Optimizer-state layout tag for the schema sidecar.
+
+    Unfrozen runs use ``optax.flatten`` (one raveled Adam vector); any
+    ``fix_*`` flag switches to per-leaf moments under
+    ``optax.multi_transform`` (parallel/train_step.py:make_optimizer). The
+    two trees are not mutually restorable, so the tag names the exact
+    freezing configuration.
+    """
+    frozen = [
+        n
+        for n, f in [("flow", fix_flow), ("depth", fix_depth), ("pose", fix_pose)]
+        if f
+    ]
+    return "multi_transform:" + "+".join(frozen) if frozen else "flatten"
+
 
 class CheckpointManager:
-    """Step-indexed checkpoints with a retained rolling window."""
+    """Step-indexed checkpoints with a retained rolling window.
+
+    ``directory`` may be a local path or a remote URL (``gs://...``) --
+    remote paths go straight to orbax/tensorstore; the schema sidecar is
+    then kept in-memory only (remote sidecar writes would need a storage
+    client this package doesn't depend on).
+    """
 
     def __init__(self, directory: str, max_to_keep: int = 5):
-        self.directory = os.path.abspath(directory)
-        os.makedirs(self.directory, exist_ok=True)
+        self._remote = _is_remote(directory)
+        self.directory = directory if self._remote else os.path.abspath(directory)
+        if not self._remote:
+            os.makedirs(self.directory, exist_ok=True)
         options = ocp.CheckpointManagerOptions(max_to_keep=max_to_keep, create=True)
         self.manager = ocp.CheckpointManager(self.directory, options=options)
+        self._meta_cache: Optional[dict] = None
 
-    def save(self, step: int, state: Any) -> None:
+    # -- schema sidecar -------------------------------------------------
+    @property
+    def _schema_path(self) -> str:
+        return os.path.join(self.directory, "schema.json")
+
+    def save_meta(self, meta: dict) -> None:
+        meta = {"schema_version": SCHEMA_VERSION, **meta}
+        self._meta_cache = meta
+        if not self._remote:
+            with open(self._schema_path, "w") as f:
+                json.dump(meta, f, indent=1, sort_keys=True)
+
+    def load_meta(self) -> Optional[dict]:
+        """The schema sidecar, or None for pre-versioning checkpoints."""
+        if self._meta_cache is not None:
+            return self._meta_cache
+        if not self._remote and os.path.exists(self._schema_path):
+            with open(self._schema_path) as f:
+                self._meta_cache = json.load(f)
+        return self._meta_cache
+
+    # -- save / restore --------------------------------------------------
+    def save(self, step: int, state: Any, meta: Optional[dict] = None) -> None:
+        """Save ``state`` at ``step``; ``meta`` (opt_layout, config digest,
+        ...) is recorded once in the schema sidecar."""
         self.manager.save(step, args=ocp.args.StandardSave(state))
         self.manager.wait_until_finished()
+        if meta is not None:
+            self.save_meta(meta)
 
     def latest_step(self) -> Optional[int]:
         return self.manager.latest_step()
@@ -45,7 +111,12 @@ class CheckpointManager:
         raw = self.manager.restore(step)
         return raw["params"]
 
-    def restore(self, state_like: Any, step: Optional[int] = None) -> Any:
+    def restore(
+        self,
+        state_like: Any,
+        step: Optional[int] = None,
+        expect_opt_layout: Optional[str] = None,
+    ) -> Any:
         """Restore into the structure of ``state_like`` (abstract or concrete).
 
         CHECKPOINT-FORMAT NOTE: the optimizer-state tree depends on the
@@ -55,10 +126,29 @@ class CheckpointManager:
         A checkpoint saved under one layout cannot restore into the other; the
         stage hand-off path avoids this by restoring against a donor-matching
         template and grafting only params (scripts/train_synth_long.py).
+
+        Passing ``expect_opt_layout`` (see :func:`opt_layout_tag`) checks the
+        schema sidecar BEFORE touching orbax, turning a layout mismatch into
+        an actionable error. Pre-versioning checkpoints (no sidecar) skip the
+        check.
         """
         step = step if step is not None else self.latest_step()
         if step is None:
             raise FileNotFoundError(f"no checkpoint found in {self.directory}")
+        meta = self.load_meta()
+        if (
+            expect_opt_layout is not None
+            and meta is not None
+            and meta.get("opt_layout") not in (None, expect_opt_layout)
+        ):
+            raise RuntimeError(
+                f"[checkpoint] {self.directory} step {step} was saved with "
+                f"optimizer layout {meta['opt_layout']!r} but this run uses "
+                f"{expect_opt_layout!r} (different fix_flow/fix_depth/fix_pose "
+                "flags). Restore with a template built from the checkpoint's "
+                "freezing flags, then graft the params (utils.graft_params), "
+                "or use restore_params()."
+            )
         try:
             return self.manager.restore(step, args=ocp.args.StandardRestore(state_like))
         except Exception as e:  # augment tree-mismatch errors with the likely cause
