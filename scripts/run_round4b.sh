@@ -17,9 +17,20 @@ echo "[round4b] bench.py pallas vs pallas_fused" >&2
 BENCH_WARP_IMPL=pallas python bench.py > "$RUNS/bench_pallas.json" 2> "$RUNS/bench_pallas.err"
 BENCH_WARP_IMPL=pallas_fused python bench.py > "$RUNS/bench_fused.json" 2> "$RUNS/bench_fused.err"
 
+echo "[round4b] xprof step profile (current default build)" >&2
+python scripts/profile_step.py > "$RUNS/profile_r4.log" 2>&1 || true
+
 echo "[round4b] static-world depth control" >&2
 bash scripts/run_stage.sh "$RUNS/depth_static" 6000 2500 \
   --mode depth --data /tmp/synth_world_static --n_movers 0 \
   --eval_every 1000 --image_every 9999999
+
+echo "[round4b] dynamic-mask bound A/B (VERDICT #5 second lever)" >&2
+# tighter beta -> more pixels classified dynamic -> the 2x-weighted dyna
+# photometric term covers more of the movers (ops/inverse_warp_multi.py:80)
+bash scripts/run_stage.sh "$RUNS/geom_stage2_dynmask" 8000 2500 \
+  --mode geom --data /tmp/synth_world_r4 --eval_every 1000 --image_every 9999999 \
+  --lr 2e-5 --set flow_consist_beta=0.25 \
+  --graft_flow "$RUNS/geom_fixflow/ckpt" --graft_depth "$RUNS/geom_fixflow/ckpt"
 
 echo "[round4b] done" >&2
