@@ -63,11 +63,14 @@ def main():
     # the default windowed dynamic-gather warp kernel (Config.warp_impl;
     # ops/pallas/warp_window.py)
     warp_impl = _os.environ.get("BENCH_WARP_IMPL", "pallas")
+    # BENCH_WARP_BF16=1 extends the Pallas warp kernel to the bf16 image
+    # pyramids at scales >= 1 (Config.warp_bf16)
+    warp_bf16 = bool(int(_os.environ.get("BENCH_WARP_BF16", "0")))
     h, w = 256, 832
     cfg = Config(
         img_hw=(h, w), mode="geom", compute_dtype="bfloat16",
         batch_size=batch_size, loss_base_scale=loss_scale,
-        warp_impl=warp_impl,
+        warp_impl=warp_impl, warp_bf16=warp_bf16,
     )
 
     model, state = init_state(cfg, jax.random.PRNGKey(0))

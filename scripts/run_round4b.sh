@@ -13,9 +13,10 @@ mkdir -p "$RUNS"
 echo "[round4b] warp microbench" >&2
 python scripts/bench_warp_window.py 16 > "$RUNS/bench_warp_fused.log" 2>&1
 
-echo "[round4b] bench.py pallas vs pallas_fused" >&2
+echo "[round4b] bench.py pallas vs pallas_fused vs bf16-extended" >&2
 BENCH_WARP_IMPL=pallas python bench.py > "$RUNS/bench_pallas.json" 2> "$RUNS/bench_pallas.err"
 BENCH_WARP_IMPL=pallas_fused python bench.py > "$RUNS/bench_fused.json" 2> "$RUNS/bench_fused.err"
+BENCH_WARP_IMPL=pallas BENCH_WARP_BF16=1 python bench.py > "$RUNS/bench_bf16.json" 2> "$RUNS/bench_bf16.err"
 
 echo "[round4b] xprof step profile (current default build)" >&2
 python scripts/profile_step.py > "$RUNS/profile_r4.log" 2>&1 || true
