@@ -66,11 +66,17 @@ def main():
     # BENCH_WARP_BF16=1 extends the Pallas warp kernel to the bf16 image
     # pyramids at scales >= 1 (Config.warp_bf16)
     warp_bf16 = bool(int(_os.environ.get("BENCH_WARP_BF16", "0")))
+    # BENCH_PACKED_ENCODER / BENCH_PACKED_STEM measure the (1,2)-packed
+    # ResNet layer-1 segment and the (4,4)->(2,2) packed 7x7 stem
+    # (models/depth_net.py; exact-parity layouts, PERF.md)
+    packed_encoder = bool(int(_os.environ.get("BENCH_PACKED_ENCODER", "0")))
+    packed_stem = bool(int(_os.environ.get("BENCH_PACKED_STEM", "0")))
     h, w = 256, 832
     cfg = Config(
         img_hw=(h, w), mode="geom", compute_dtype="bfloat16",
         batch_size=batch_size, loss_base_scale=loss_scale,
         warp_impl=warp_impl, warp_bf16=warp_bf16,
+        packed_encoder=packed_encoder, packed_stem=packed_stem,
     )
 
     model, state = init_state(cfg, jax.random.PRNGKey(0))

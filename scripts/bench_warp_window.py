@@ -8,6 +8,7 @@ Flow statistics modeled as KITTI-like: smooth fields, |u| up to ~80 px,
 Usage: python scripts/bench_warp_window.py [B]
 """
 
+import os
 import sys
 import time
 
@@ -15,6 +16,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_tpu")
 
 from unsupervised_depth_opticalflow_egomotion_tpu.ops.pallas.warp_window import (

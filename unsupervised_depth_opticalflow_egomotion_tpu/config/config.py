@@ -71,6 +71,12 @@ class Config:
     # larger batch/resolution than the default b8 256x832, which fits without)
     packed_convs: bool = True  # space-to-depth packed small-channel convs
     # (numerically equivalent; 1.7-2.5x faster on TPU -- ops/packed_conv.py)
+    packed_encoder: bool = False  # (1,2) width-packed ResNet layer-1 segment
+    # with exact packed BatchNorm (models/depth_net.py); checkpoint tree is
+    # unchanged. Off until the hardware win lands in PERF.md.
+    packed_stem: bool = False  # (4,4)->(2,2) packed form of the 7x7 s2 stem
+    # conv (contract 48 ch/tap into 256 lanes instead of 3 ch/tap into 64;
+    # ops/packed_conv.py:pack_kernel_stem). Off until measured.
     pwc_corr: str = "fused"  # "xla" | "pallas" | "fused": PWC correlation impl
     # (hardware measurements in PERF.md; "fused" = round-3 channel-major
     # Pallas fwd+bwd kernels, ops/pallas/correlation_fused.py)

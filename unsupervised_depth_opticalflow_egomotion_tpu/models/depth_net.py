@@ -26,11 +26,20 @@ from ..ops.interp import upsample2x_bilinear
 from ..ops.packed_conv import (
     depth_to_space,
     depth_to_space_rect,
+    packed_conv_rect,
+    packed_stem_conv,
     packed_upsample2x_bilinear_24,
     repack_22_to_24,
     space_to_depth,
+    space_to_depth_rect,
 )
-from .layers import ReflectConv3x3, kaiming_normal_out, max_pool_3x3_s2_p1
+from .layers import (
+    PackedBatchNorm,
+    ReflectConv3x3,
+    _ConvParams,
+    kaiming_normal_out,
+    max_pool_3x3_s2_p1,
+)
 
 _DEC_CH = (16, 32, 64, 128, 256)
 
@@ -38,10 +47,18 @@ _DEC_CH = (16, 32, 64, 128, 256)
 class BasicBlock(nn.Module):
     features: int
     stride: int = 1
+    # (fy, fx) space-to-depth packing: the block then takes and returns a
+    # packed tensor. Only the stride-1, no-downsample shape is supported
+    # (= the layer-1 segment, the only lane-starved one). Param names are
+    # pinned to the unpacked tree (Conv_0/Conv_1, BatchNorm_0/BatchNorm_1).
+    packed: tuple[int, int] | None = None
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool):
+        if self.packed is not None:
+            return self._packed_call(x, train)
+
         def bn():
             return nn.BatchNorm(
                 use_running_average=not train,
@@ -79,32 +96,96 @@ class BasicBlock(nn.Module):
             residual = bn()(residual)
         return nn.relu(y + residual)
 
+    def _packed_call(self, xp, train: bool):
+        fy, fx = self.packed
+        phases = fy * fx
+        assert self.stride == 1 and xp.shape[-1] == phases * self.features, (
+            "packed BasicBlock supports only the stride-1 identity-residual "
+            f"shape; got stride={self.stride}, packed input {xp.shape}"
+        )
+
+        def bn(name):
+            return PackedBatchNorm(
+                use_running_average=not train,
+                phases=phases,
+                momentum=0.9,
+                epsilon=1e-5,
+                dtype=self.dtype,
+                name=name,
+            )
+
+        def conv(name, x):
+            k, _ = _ConvParams(
+                self.features,
+                self.features,
+                use_bias=False,
+                kernel_init=kaiming_normal_out,
+                name=name,
+            )()
+            return packed_conv_rect(x, k.astype(self.dtype), None, fy, fx)
+
+        y = conv("Conv_0", xp)
+        y = bn("BatchNorm_0")(y)
+        y = nn.relu(y)
+        y = conv("Conv_1", y)
+        y = bn("BatchNorm_1")(y)
+        return nn.relu(y + xp)
+
 
 class ResNet18Encoder(nn.Module):
-    """Returns the 5 monodepth2 skip features (depth_model.py:85-95)."""
+    """Returns the 5 monodepth2 skip features (depth_model.py:85-95).
 
+    ``packed_layer1`` runs the two 64-channel stride-1 blocks (the only
+    lane-starved encoder segment: C=64 fills half the 128 lanes) on a
+    (1,2) width-packed layout -- 2x MAC redundancy for full lane occupancy,
+    with exact packed BatchNorm (PackedBatchNorm). Parameter and stat trees
+    are identical in both modes.
+    """
+
+    packed_layer1: bool = False
+    packed_stem: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, img, train: bool):
         x = (img - 0.45) / 0.225
-        x = nn.Conv(
-            64,
-            (7, 7),
-            strides=(2, 2),
-            padding=((3, 3), (3, 3)),
-            use_bias=False,
-            kernel_init=kaiming_normal_out,
-            dtype=self.dtype,
-        )(x)
+        if self.packed_stem and img.shape[1] % 4 == 0 and img.shape[2] % 4 == 0:
+            # 7x7 s2 at Cin=3 runs ~3% MXU; the (4,4)->(2,2) packed form
+            # contracts 48 channels per tap into 256 lanes (packed_conv.py).
+            # Same logical kernel parameter, pinned to nn.Conv's child name.
+            k, _ = _ConvParams(
+                64,
+                3,
+                kernel=7,
+                use_bias=False,
+                kernel_init=kaiming_normal_out,
+                name="Conv_0",
+            )()
+            x = packed_stem_conv(x, k.astype(self.dtype))
+        else:
+            x = nn.Conv(
+                64,
+                (7, 7),
+                strides=(2, 2),
+                padding=((3, 3), (3, 3)),
+                use_bias=False,
+                kernel_init=kaiming_normal_out,
+                dtype=self.dtype,
+            )(x)
         x = nn.BatchNorm(
             use_running_average=not train, momentum=0.9, epsilon=1e-5, dtype=self.dtype
         )(x)
         f0 = nn.relu(x)
 
         x = max_pool_3x3_s2_p1(f0)
-        for _ in range(2):
-            x = BasicBlock(64, dtype=self.dtype)(x, train)
+        if self.packed_layer1:
+            x = space_to_depth_rect(x, 1, 2)
+            for _ in range(2):
+                x = BasicBlock(64, packed=(1, 2), dtype=self.dtype)(x, train)
+            x = depth_to_space_rect(x, 1, 2)
+        else:
+            for _ in range(2):
+                x = BasicBlock(64, dtype=self.dtype)(x, train)
         f1 = x
         x = BasicBlock(128, stride=2, dtype=self.dtype)(x, train)
         x = BasicBlock(128, dtype=self.dtype)(x, train)
@@ -218,6 +299,8 @@ class DepthNet(nn.Module):
 
     num_scales: int = 3
     packed: bool = True
+    packed_encoder: bool = False
+    packed_stem: bool = False
     extra_head_scales: int = 0
     dtype: Any = jnp.float32
 
@@ -227,7 +310,11 @@ class DepthNet(nn.Module):
             "DepthNet needs input >= 64px per side (the 1/32-scale encoder "
             f"features must be >= 2px for reflection padding); got {img.shape}"
         )
-        features = ResNet18Encoder(dtype=self.dtype)(img, train)
+        features = ResNet18Encoder(
+            packed_layer1=self.packed_encoder,
+            packed_stem=self.packed_stem,
+            dtype=self.dtype,
+        )(img, train)
         return DepthDecoder(
             num_scales=self.num_scales, packed=self.packed,
             extra_head_scales=self.extra_head_scales, dtype=self.dtype,

@@ -106,6 +106,8 @@ class JointModel(nn.Module):
     ransac_iters: int = 100
     remat: bool = True
     packed_convs: bool = True
+    packed_encoder: bool = False
+    packed_stem: bool = False
     corr_impl: str = "xla"
     # Flow-mode occlusion model: "splat" = forward-splat masks (the scheme
     # the reference defines via transformerFwd but never ships working --
@@ -151,6 +153,8 @@ class JointModel(nn.Module):
         self.depth_net = depth_cls(
             num_scales=self.num_scales,
             packed=self.packed_convs,
+            packed_encoder=self.packed_encoder,
+            packed_stem=self.packed_stem,
             extra_head_scales=self.loss_base_scale,
             dtype=self.dtype,
         )

@@ -15,6 +15,7 @@ from __future__ import annotations
 from typing import Any
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from ..ops.packed_conv import (
@@ -154,6 +155,63 @@ class ReflectConv3x3(nn.Module):
             kernel_init=torch_conv_init,
             dtype=self.dtype,
         )(x)
+
+
+class PackedBatchNorm(nn.Module):
+    """BatchNorm over the LOGICAL channels of a space-to-depth packed tensor.
+
+    Exact (up to float summation order): the ``phases`` packed channels of a
+    logical channel partition its pixels into equal-count groups, so the
+    logical batch mean / E[x^2] are the equal-weight averages of the
+    per-packed-channel moments. Parameter and batch_stats leaves carry the
+    LOGICAL channel count and nn.BatchNorm's exact names ({scale, bias} /
+    {mean, var}), so checkpoints are packing-layout-independent.
+
+    Matches nn.BatchNorm(momentum, epsilon, use_fast_variance=True): stats
+    in float32, normalization in ``dtype``.
+    """
+
+    use_running_average: bool
+    phases: int
+    momentum: float = 0.9
+    epsilon: float = 1e-5
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, xp):
+        c = xp.shape[-1] // self.phases
+        scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        ra_mean = self.variable(
+            "batch_stats", "mean", lambda: jnp.zeros((c,), jnp.float32)
+        )
+        ra_var = self.variable(
+            "batch_stats", "var", lambda: jnp.ones((c,), jnp.float32)
+        )
+        if self.use_running_average:
+            mean, var = ra_mean.value, ra_var.value
+        else:
+            xf = xp.astype(jnp.float32)
+            # per-packed-channel moments, phase-combined to logical channels
+            m_p = jnp.mean(xf, axis=(0, 1, 2)).reshape(self.phases, c)
+            s_p = jnp.mean(jnp.square(xf), axis=(0, 1, 2)).reshape(self.phases, c)
+            mean = jnp.mean(m_p, axis=0)
+            var = jnp.mean(s_p, axis=0) - jnp.square(mean)
+            if not self.is_initializing():
+                ra_mean.value = (
+                    self.momentum * ra_mean.value + (1.0 - self.momentum) * mean
+                )
+                ra_var.value = (
+                    self.momentum * ra_var.value + (1.0 - self.momentum) * var
+                )
+        mul = jax.lax.rsqrt(var.astype(self.dtype) + jnp.asarray(
+            self.epsilon, self.dtype
+        )) * scale.astype(self.dtype)
+        mul = jnp.tile(mul, self.phases)
+        off = jnp.tile(bias.astype(self.dtype), self.phases) - jnp.tile(
+            mean.astype(self.dtype), self.phases
+        ) * mul
+        return xp.astype(self.dtype) * mul + off
 
 
 def max_pool_3x3_s2_p1(x):

@@ -309,6 +309,88 @@ def packed_conv_reflect_rect(
     return out
 
 
+def packed_conv_rect(
+    xp: jax.Array,
+    w: jax.Array,
+    bias: jax.Array | None,
+    fy: int,
+    fx: int,
+) -> jax.Array:
+    """Zero-padded 3x3 stride-1 conv on an (fy,fx)-packed tensor.
+
+    Zero-padding one packed block per side reproduces logical zero padding
+    exactly: the 3x3 taps reach at most one logical line past each edge, and
+    those lines land in the halo blocks' referenced sub-positions (row -1 =
+    halo dy = fy-1, row H = halo dy = 0); every other halo sub-position is
+    structurally unreferenced by :func:`pack_kernel_rect`.
+
+    Used by the (1,2)-packed ResNet encoder segment (models/depth_net.py):
+    the 64-channel stride-1 blocks are lane-bound at C=64, and width-2
+    packing fills the 128 lanes for 2x (not 4x) MAC redundancy.
+    """
+    wp = pack_kernel_rect(w, fy, fx)
+    out = jax.lax.conv_general_dilated(
+        xp,
+        wp.astype(xp.dtype),
+        (1, 1),
+        ((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    if bias is not None:
+        out = out + jnp.tile(bias, fy * fx).astype(out.dtype)
+    return out
+
+
+def pack_kernel_stem(w: jax.Array) -> jax.Array:
+    """Remap a 7x7 stride-2 pad-3 kernel onto (4,4)-packed input / (2,2)-packed
+    output: logical [7,7,Cin,Co] -> packed [3,3,16Cin,4Co].
+
+    The ResNet stem (7x7 s2, Cin=3) runs at ~3% MXU occupancy -- the
+    contraction dim is 3 per tap. On the packed form the contraction is
+    16*Cin=48 per tap with Co*4=256 output lanes. Derivation: output sub-row
+    p in {0,1} of a (2,2) output block at block-row OY is logical out row
+    2*OY + p, whose tap ky in 0..6 reads logical input row
+    4*OY + (2*p + ky - 3); offsets -3..5 span input blocks OY-1..OY+1, so the
+    packed kernel is 3x3 and one zero halo block per side reproduces the
+    logical pad-3 zeros exactly (halo sub-rows beyond the pad are
+    structurally unreferenced).
+    """
+    assert w.shape[:2] == (7, 7), f"stem pack needs a 7x7 kernel; got {w.shape}"
+    cin, co = w.shape[2], w.shape[3]
+    wp = jnp.zeros((3, 3, 16 * cin, 4 * co), w.dtype)
+    for p in range(2):
+        for q in range(2):
+            for ky in range(7):
+                for kx in range(7):
+                    ty, tx = 2 * p + ky - 3, 2 * q + kx - 3
+                    KY, dy = ty // 4 + 1, ty % 4
+                    KX, dx = tx // 4 + 1, tx % 4
+                    ci = (dy * 4 + dx) * cin
+                    coo = (p * 2 + q) * co
+                    wp = wp.at[KY, KX, ci : ci + cin, coo : coo + co].add(
+                        w[ky, kx]
+                    )
+    return wp
+
+
+def packed_stem_conv(x: jax.Array, w: jax.Array) -> jax.Array:
+    """7x7 stride-2 pad-3 conv via the (4,4)->(2,2) packed form.
+
+    x: logical [B,H,W,Cin] (H,W % 4 == 0); w: logical [7,7,Cin,Co].
+    Returns the plain [B,H/2,W/2,Co] output (unpacked), equal to the
+    logical conv up to f32 contraction-order roundoff.
+    """
+    xp = space_to_depth_rect(x, 4, 4)
+    out = jax.lax.conv_general_dilated(
+        xp,
+        pack_kernel_stem(w).astype(xp.dtype),
+        (1, 1),
+        ((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    return depth_to_space(out)
+
+
 def repack_22_to_24(xp: jax.Array) -> jax.Array:
     """(2,2)-packed [B,H,W,4C] -> (2,4)-packed [B,H,W/2,8C] of the same
     logical tensor: new w-block q covers logical cols 4q..4q+3 = old blocks

@@ -62,6 +62,8 @@ def build_model(cfg: Config) -> JointModel:
         ransac_iters=cfg.ransac_iters,
         remat=cfg.remat,
         packed_convs=cfg.packed_convs,
+        packed_encoder=cfg.packed_encoder,
+        packed_stem=cfg.packed_stem,
         corr_impl=cfg.pwc_corr,
         flow_occ_impl=cfg.flow_occ_impl,
         loss_base_scale=cfg.loss_base_scale,
