@@ -11,9 +11,12 @@ from __future__ import annotations
 
 import glob
 import os
+import sys
 
 import jax
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_tpu")
 
