@@ -62,10 +62,10 @@ def main():
     # BENCH_WARP_IMPL=xla measures the XLA row-gather sampler instead of
     # the default windowed dynamic-gather warp kernel (Config.warp_impl;
     # ops/pallas/warp_window.py)
-    warp_impl = _os.environ.get("BENCH_WARP_IMPL", "pallas")
-    # BENCH_WARP_BF16=1 extends the Pallas warp kernel to the bf16 image
-    # pyramids at scales >= 1 (Config.warp_bf16)
-    warp_bf16 = bool(int(_os.environ.get("BENCH_WARP_BF16", "0")))
+    warp_impl = _os.environ.get("BENCH_WARP_IMPL", "pallas_fused")
+    # BENCH_WARP_BF16=0 drops the Pallas warp kernel's bf16 image-pyramid
+    # extension (Config.warp_bf16; default on since round 4)
+    warp_bf16 = bool(int(_os.environ.get("BENCH_WARP_BF16", "1")))
     # BENCH_PACKED_ENCODER / BENCH_PACKED_STEM measure the (1,2)-packed
     # ResNet layer-1 segment and the (4,4)->(2,2) packed 7x7 stem
     # (models/depth_net.py; exact-parity layouts, PERF.md)

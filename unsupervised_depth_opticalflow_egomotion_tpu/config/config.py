@@ -80,18 +80,21 @@ class Config:
     pwc_corr: str = "fused"  # "xla" | "pallas" | "fused": PWC correlation impl
     # (hardware measurements in PERF.md; "fused" = round-3 channel-major
     # Pallas fwd+bwd kernels, ops/pallas/correlation_fused.py)
-    warp_impl: str = "pallas"  # "xla" | "pallas" | "pallas_fused": warp sampler for
-    # uint8 RGB sources. "pallas" = the windowed dynamic-gather kernel
-    # (ops/pallas/warp_window.py): per-band VMEM source windows + intra-vreg
-    # lane shuffles instead of the platform-rate global row gather (geom
-    # step 43.5 -> 51.3 fps/chip, PERF.md round-4; value/grad parity vs the
-    # XLA sampler in tests/test_warp_window.py, displacement clamped beyond
-    # +-128 px horizontal / 53 px per-band vertical variation); float
-    # sources and off-TPU backends keep the XLA path either way.
-    warp_bf16: bool = False  # extend the Pallas warp kernel to bf16
+    warp_impl: str = "pallas_fused"  # "xla" | "pallas" | "pallas_fused": warp
+    # sampler for uint8 RGB sources. "pallas"/"pallas_fused" = the windowed
+    # dynamic-gather kernel (ops/pallas/warp_window.py): per-band VMEM source
+    # windows + intra-vreg lane shuffles instead of the platform-rate global
+    # row gather (geom step 43.5 -> 51.3 fps/chip, PERF.md round-4; value/grad
+    # parity vs the XLA sampler in tests/test_warp_window.py, displacement
+    # clamped beyond +-128 px horizontal / 53 px per-band vertical variation);
+    # "pallas_fused" additionally emits the analytic coordinate derivatives in
+    # the forward so the backward is elementwise (no re-gather). Combined with
+    # warp_bf16 below: 51.3 -> 55.8 fps/chip (PERF.md round-4 variants table).
+    # Float ACTIVATION sources and off-TPU backends keep the XLA path.
+    warp_bf16: bool = True  # extend the Pallas warp kernel to bf16
     # 3-channel DATA sources (the scale>=1 photometric image pyramids;
-    # bf16 bit pairs packed into i32 words, 2 gathers/tap). Off until the
-    # hardware speedup lands in PERF.md; parity in tests/test_warp_window.
+    # bf16 bit pairs packed into i32 words, 2 gathers/tap). Hardware win
+    # measured in PERF.md round-4; parity in tests/test_warp_window.
     ssim_impl: str = "pallas"  # "xla" | "pallas": SSIM map impl. "pallas" =
     # the fused single-pass fwd+bwd kernel (ops/pallas/ssim_fused.py) on
     # planes where it measures faster (>=128x416; hardware table in PERF.md),

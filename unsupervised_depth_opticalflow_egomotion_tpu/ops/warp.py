@@ -47,8 +47,8 @@ _WARP_IMPL = "xla"
 
 # Extends the Pallas kernel path to bf16 3-channel DATA sources (the
 # scale>=1 photometric image pyramids; call sites declare src_is_data).
-# Default off until flipped by Config.warp_bf16 (hardware-verified speedups
-# in PERF.md).
+# Module default off; Config.warp_bf16 (default True since round 4,
+# hardware-verified speedup in PERF.md) flips it via set_warp_impl.
 _WARP_BF16 = False
 
 
