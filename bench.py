@@ -55,6 +55,14 @@ def main():
 
     import os as _os
     batch_size = int(_os.environ.get("BENCH_BATCH", "8"))
+    # BENCH_MODE=flow|depth|geom measures that training objective's step
+    # (geom = the flagship joint step and the driver default). Flow mode
+    # additionally honours BENCH_FLOW_OCC (Config.flow_occ_impl: splat |
+    # splat_nn | splat_nn_half | splat_xla | diff_weights) so the
+    # occlusion-splat implementations are A/B-able from the same harness
+    # (round-4 verdict weak #8).
+    mode = _os.environ.get("BENCH_MODE", "geom")
+    flow_occ = _os.environ.get("BENCH_FLOW_OCC", "")
     # BENCH_LOSS_SCALE=1 measures the half-resolution loss dial
     # (Config.loss_base_scale; quality A/B in TRAINING.md). Default 0 =
     # the reference's full-resolution objective.
@@ -73,10 +81,11 @@ def main():
     packed_stem = bool(int(_os.environ.get("BENCH_PACKED_STEM", "0")))
     h, w = 256, 832
     cfg = Config(
-        img_hw=(h, w), mode="geom", compute_dtype="bfloat16",
+        img_hw=(h, w), mode=mode, compute_dtype="bfloat16",
         batch_size=batch_size, loss_base_scale=loss_scale,
         warp_impl=warp_impl, warp_bf16=warp_bf16,
         packed_encoder=packed_encoder, packed_stem=packed_stem,
+        **({"flow_occ_impl": flow_occ} if flow_occ else {}),
     )
 
     model, state = init_state(cfg, jax.random.PRNGKey(0))
@@ -126,6 +135,10 @@ def main():
     steps_per_s = iters / dt
     fps_per_chip = steps_per_s * batch_size / max(1, jax.local_device_count())
     tag = f", loss_scale={loss_scale}" if loss_scale else ""
+    if mode != "geom":
+        tag += f", mode={mode}"
+        if flow_occ:
+            tag += f", occ={flow_occ}"
     result = {
         "metric": "frames/sec/chip joint depth+flow+pose fwd-bwd "
         f"(b8 256x832 bf16{tag})",

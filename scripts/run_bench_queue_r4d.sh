@@ -10,8 +10,15 @@ cd "$(dirname "$0")/.."
 run() {
   local name=$1; shift
   echo "[bench_queue] $name ..." >&2
-  local line
-  line=$(env "$@" timeout 580 python bench.py 2>/dev/null | tail -1)
+  local line rc
+  # no pipe inside the substitution: $? must be python's status, not tail's
+  line=$(env "$@" timeout 1500 python bench.py 2>/dev/null)
+  rc=$?
+  line=$(echo "$line" | tail -1)
+  # guard the crash/timeout case: an empty $line would emit malformed JSON
+  if [ $rc -ne 0 ] || [ -z "$line" ]; then
+    line="{\"error\": \"bench exited rc=$rc\"}"
+  fi
   echo "{\"arm\": \"$name\", \"result\": $line}" >> "$OUT"
   echo "[bench_queue] $name -> $line" >&2
 }

@@ -53,6 +53,7 @@ _TIERS = {
     "test_ops_golden": "parity",
     "test_pallas_kernels": "kernels",
     "test_warp_window": "kernels",
+    "test_splat_window": "kernels",
     "test_train_e2e": "e2e",
     "test_learning": "e2e",
     "test_train_step": "e2e",

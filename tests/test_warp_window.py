@@ -234,21 +234,23 @@ class TestBf16Source:
         src, ix, iy = _mk(**kw)
         return (src.astype(jnp.float32) / 255.0).astype(jnp.bfloat16), ix, iy
 
-    def test_forward_parity(self):
+    @pytest.mark.parametrize("fused", [False, True])
+    def test_forward_parity(self, fused):
         from unsupervised_depth_opticalflow_egomotion_tpu.ops.pallas.warp_window import (
             warp_gather_bf16x3,
         )
 
         src, ix, iy = self._mk_bf16()
         out, wsum = warp_gather_bf16x3(
-            src, ix, iy, out_dtype=jnp.float32, interpret=True
+            src, ix, iy, out_dtype=jnp.float32, interpret=True, fused=fused
         )
         ref, ref_w = _xla_ref(src.astype(jnp.float32), ix, iy)
         # kernel accumulates the bf16 taps in f32; XLA path in f32 too here
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
         np.testing.assert_allclose(np.asarray(wsum), np.asarray(ref_w), atol=2e-5)
 
-    def test_coord_grads(self):
+    @pytest.mark.parametrize("fused", [False, True])
+    def test_coord_grads(self, fused):
         from unsupervised_depth_opticalflow_egomotion_tpu.ops.pallas.warp_window import (
             warp_gather_bf16x3,
         )
@@ -258,7 +260,7 @@ class TestBf16Source:
 
         def loss_p(ix, iy):
             o, ws = warp_gather_bf16x3(
-                src, ix, iy, out_dtype=jnp.float32, interpret=True
+                src, ix, iy, out_dtype=jnp.float32, interpret=True, fused=fused
             )
             return jnp.sum(o * o) + 0.3 * jnp.sum(ws * ws)
 

@@ -105,9 +105,12 @@ class Config:
     # rows of "splat" -> flow train step 31.5 -> 67.3 fps/chip, equal
     # learning in the synthetic A/B: EPE 10.16 vs 10.03 at 3k steps,
     # TRAINING.md) | "splat" (4-tap bilinear forward splat; soft boundary
-    # mask values) | "splat_nn_half" (nearest splat on a half-res grid for
-    # large planes; 1/16 the scatter rows of "splat") | "diff_weights"
-    # (faithful model_flow.py soft weights;
+    # mask values; on TPU this takes the round-5 windowed Pallas splat
+    # kernel, ops/pallas/splat_window.py -- scatter reformulated as MXU
+    # tent-matrix matmuls) | "splat_xla" (forces the XLA scatter-add form
+    # of "splat"; the kernel A/B escape) | "splat_nn_half" (nearest splat
+    # on a half-res grid for large planes; 1/16 the scatter rows of
+    # "splat") | "diff_weights" (faithful model_flow.py soft weights;
     # parity-anchored, known-degenerate -- see joint.py)
     flow_occ_switch_step: int = 0  # flow-mode occlusion schedule: train with
     # ``flow_occ_impl`` (fast splat_nn) up to this step, then switch to the

@@ -280,6 +280,7 @@ class JointModel(nn.Module):
         occ_taps = {
             "splat_nn": "nearest",
             "splat_nn_half": "nearest_half",
+            "splat_xla": "bilinear_xla",  # forced scatter-add (A/B escape)
         }.get(self.flow_occ_impl, "bilinear")
         occ_fwd = [occlusion_mask_from_flow(-f, occ_taps) for f in flows_fwd]
         occ_bwd = [occlusion_mask_from_flow(-f, occ_taps) for f in flows_bwd]

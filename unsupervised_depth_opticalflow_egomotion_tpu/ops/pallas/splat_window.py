@@ -1,0 +1,215 @@
+"""Windowed Pallas forward-splat: bilinear scatter mass at MXU rate.
+
+Replaces the XLA scatter-add form of the occlusion-mask splat
+(ops/splat.py:forward_splat) for the flow-mode occlusion masks. XLA's
+scatter rows price at ~4x its gather rows on TPU v5e (PERF.md flow-mode
+pricing: the 4-tap bilinear splat costs 253.8 ms/step vs 73.8 scatter-free)
+because the chip has no hardware scatter at all -- every row serializes
+through the scalar pipeline. This kernel reformulates the splat as dense
+matmuls (scatter = transpose of gather = one-hot contraction, the idiomatic
+TPU form):
+
+    mass[r, c] = sum_s tent(ty_s - r) * tent(tx_s - c),  tent(d) = max(0, 1-|d|)
+
+The tent function IS the bilinear splat weight including the drop-out-of-
+frame semantics: each in-frame integer tap (r, c) of a target (ty, tx)
+receives exactly (1-|ty-r|)(1-|tx-c|), and out-of-frame taps simply have no
+(r, c) cell. Factorized per 8x128 source coordinate block:
+
+- per (batch, ``brows``-row output band), DMA a ``win``-row window of the
+  (tx | ty) target-coordinate planes into VMEM, starting at the band's
+  first contributing source row (scalar-prefetched, computed by a cheap
+  XLA reduction over per-row ty min/max);
+- per 128-col output block, loop source 8-row groups over the band's
+  dynamic contributing range; per source row, build the row-tent matrix
+  A[brows, 128] = tent(ty_s - r) and the col-tent matrix
+  Bt[128, 128] = tent(tx_s - c) with broadcasted iotas (VPU), then
+  accumulate ``A @ Bt^T`` on the MXU -- 32x128x128 f32 matmuls replace
+  scatter rows.
+
+Displacement coverage mirrors the warp-gather kernel (warp_window.py):
+vertical motion of any uniform size is absorbed by the per-band window
+start; a contributing-row SPAN beyond ``win`` rows (vertical flow variation
+> ~62 px within rows targeting one 32-row band) drops the overflow rows'
+mass (the wrapper returns a per-band dropped-row count so callers can
+guard). Horizontally ``ncol=1`` covers target columns within +-128 px of
+the source column block exactly; farther mass is dropped (true splat drops
+out-of-frame mass; this additionally drops extreme in-frame movers --
+measured 0 dropped rows on KITTI-scale smooth flows, see the guard test).
+
+The occlusion mask consuming this is stop-gradient and clamped
+(ops/splat.py:occlusion_mask_from_flow), so no backward kernel exists; the
+wrapper stops gradients explicitly.
+
+Reference counterpart: the transformerFwd occlusion scheme the reference
+calls but never ships (/root/reference/core/networks/model_flow.py:33-39).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .warp_window import LANE, _pad_last, _round_up
+
+
+def _splat_kernel(
+    s_ref, coords_ref, out_ref, win_vmem, sem, *, h, wp, win, brows, ncol
+):
+    bi = pl.program_id(0)
+    band = pl.program_id(1)
+    # s_ref[..., 0] holds start//8 (Mosaic's index prover needs the DMA
+    # sublane offset written as s8*8); s_ref[..., 1] the 8-row group count
+    s8 = s_ref[bi, band, 0]
+    gcnt = s_ref[bi, band, 1]
+    cdma = pltpu.make_async_copy(
+        coords_ref.at[bi, pl.ds(s8 * 8, win)], win_vmem, sem
+    )
+    cdma.start()
+    cdma.wait()
+
+    nblk = wp // LANE
+    base = (band * brows).astype(jnp.float32)
+    row_iota = jax.lax.broadcasted_iota(jnp.float32, (brows, LANE), 0) + base
+    col_iota = jax.lax.broadcasted_iota(jnp.float32, (LANE, LANE), 0)
+
+    for tq in range(nblk):
+        # source column blocks whose +-128 px reach covers output block tq
+        sqs = [tq + d for d in range(-ncol, ncol + 1) if 0 <= tq + d < nblk]
+        cbase = float(tq * LANE)
+
+        def g_body(g, acc):
+            for sq in sqs:
+                tx_blk = win_vmem[pl.ds(g * 8, 8), pl.ds(sq * LANE, LANE)]
+                ty_blk = win_vmem[pl.ds(g * 8, 8), pl.ds(wp + sq * LANE, LANE)]
+                for kk in range(8):
+                    tyr = jnp.broadcast_to(ty_blk[kk : kk + 1], (brows, LANE))
+                    txr = jnp.broadcast_to(tx_blk[kk : kk + 1], (LANE, LANE))
+                    a = jnp.maximum(1.0 - jnp.abs(tyr - row_iota), 0.0)
+                    bt = jnp.maximum(1.0 - jnp.abs(txr - (col_iota + cbase)), 0.0)
+                    # acc[r, c] += sum_s a[r, s] * bt[c, s]
+                    # HIGHEST precision: the default lets the MXU round the
+                    # f32 tent weights to bf16 (~0.3% mass error); exact f32
+                    # keeps parity with the XLA scatter at ~1e-5
+                    acc = acc + jax.lax.dot_general(
+                        a,
+                        bt,
+                        (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST,
+                    )
+            return acc
+
+        acc = jax.lax.fori_loop(
+            0, gcnt, g_body, jnp.zeros((brows, LANE), jnp.float32)
+        )
+        out_ref[0, pl.ds(0, brows), pl.ds(tq * LANE, LANE)] = acc.astype(
+            out_ref.dtype
+        )
+
+
+def _band_ranges(ty, h, win, brows):
+    """Per-(batch, out band) [start//8, group_count] plus dropped-row count.
+
+    A source row contributes to band [lo, hi] iff its ty range intersects
+    [lo-1, hi+1] (bilinear taps reach +-1 row). The window starts at the
+    first contributing row (floored to 8 for the DMA tiling proof) and the
+    group count covers through the last; rows past ``win`` are dropped and
+    counted (the displacement guard).
+    """
+    b, ho, _ = ty.shape
+    nb = ho // brows
+    tyc = jnp.clip(ty, -2.0, float(h + 1))
+    tymin = jnp.min(tyc, axis=-1)  # [b, h]
+    tymax = jnp.max(tyc, axis=-1)
+    lo = jnp.arange(nb, dtype=jnp.float32) * brows
+    hi = lo + (brows - 1)
+    contrib = (tymax[:, None, :] >= lo[None, :, None] - 1.0) & (
+        tymin[:, None, :] <= hi[None, :, None] + 1.0
+    )  # [b, nb, h]
+    rows = jnp.arange(h, dtype=jnp.int32)
+    first = jnp.min(jnp.where(contrib, rows, h), axis=-1)
+    last = jnp.max(jnp.where(contrib, rows, -1), axis=-1)
+    s8 = jnp.clip(first, 0, max(h - win, 0)) // 8
+    g_end = jnp.clip((last - s8 * 8 + 8) // 8, 0, win // 8)
+    dropped = jnp.maximum(last - (s8 * 8 + win - 1), 0)
+    return jnp.stack([s8, g_end], axis=-1).astype(jnp.int32), dropped
+
+
+# Mirrors warp_window._FORCE_INTERPRET: lets an integration test force the
+# kernel path through the full occlusion wrapper on CPU.
+_FORCE_INTERPRET = False
+
+
+def kernel_enabled() -> bool:
+    return jax.default_backend() not in ("cpu", "gpu") or _FORCE_INTERPRET
+
+
+def splat_mass_window(
+    flow: jax.Array,
+    *,
+    win: int = 96,
+    brows: int = 32,
+    ncol: int = 1,
+    out_dtype=None,
+    interpret=None,
+    with_stats: bool = False,
+):
+    """Unit-mass bilinear forward splat [B,H,W,1] along ``flow`` [B,H,W,2].
+
+    Exactly ``forward_splat(ones, flow)`` (ops/splat.py) up to f32
+    accumulation order, minus mass beyond the displacement coverage
+    (documented above). Gradients are stopped (the occlusion mask is
+    stop-gradient by definition). ``with_stats`` additionally returns the
+    per-(batch, band) dropped-row counts [B, H//brows] for the guard.
+    """
+    b, h, w, _ = flow.shape
+    if out_dtype is None:
+        out_dtype = jnp.float32
+    flow = jax.lax.stop_gradient(flow)
+    if interpret is None:
+        interpret = jax.default_backend() in ("cpu", "gpu")
+    win = min(win, _round_up(h, 8))
+    brows = min(brows, h)
+    while h % brows:
+        brows //= 2
+    if brows % 8 or w < LANE:
+        raise ValueError(f"unsupported splat shape {flow.shape}")
+
+    xx = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)
+    yy = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)
+    tx = xx[None] + flow[..., 0].astype(jnp.float32)
+    ty = yy[None] + flow[..., 1].astype(jnp.float32)
+    wp = _round_up(w, LANE)
+    s_arr, dropped = _band_ranges(ty, h, win, brows)
+    # padded lanes target far out of frame: tent weight identically zero
+    coords = jnp.concatenate(
+        [_pad_last(tx, wp, -1e4), _pad_last(ty, wp, -1e4)], axis=-1
+    )
+    kern = functools.partial(
+        _splat_kernel, h=h, wp=wp, win=win, brows=brows, ncol=ncol
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b, h // brows),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec((1, brows, wp), lambda bb, i, s: (bb, i, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((win, 2 * wp), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+    )
+    mass = pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, h, wp), jnp.dtype(out_dtype)),
+        interpret=interpret,
+    )(s_arr, coords)
+    mass = mass[:, :, :w, None]
+    if with_stats:
+        return mass, dropped
+    return mass

@@ -112,8 +112,22 @@ def occlusion_mask_from_flow(flow: jax.Array, taps: str = "bilinear") -> jax.Arr
     ``taps="nearest_half"`` additionally splats planes larger than 64x64 on
     a half-resolution grid (2x2-mean flow / 2) and nearest-upsamples the
     mask -- 1/4 the scatter rows for a boundary-coarser mask.
+
+    ``taps="bilinear"`` takes the windowed Pallas splat kernel
+    (ops/pallas/splat_window.py: scatter reformulated as MXU tent-matrix
+    matmuls) on TPU for supported shapes -- XLA scatter rows are the
+    flow-mode hot spot (253.8 ms/step, PERF.md) and the kernel is parity-
+    pinned against this module's scatter form (tests/test_splat_window.py).
+    ``taps="bilinear_xla"`` forces the scatter-add form (the A/B escape,
+    flow_occ_impl="splat_xla").
     """
     b, h, w, _ = flow.shape
+    if taps == "bilinear" and h % 8 == 0 and w >= 128:
+        from .pallas.splat_window import kernel_enabled, splat_mass_window
+
+        if kernel_enabled():
+            mass = splat_mass_window(flow, out_dtype=flow.dtype)
+            return jax.lax.stop_gradient(jnp.clip(mass, 0.0, 1.0))
     if taps == "nearest_half" and h % 2 == 0 and w % 2 == 0 and h * w > 4096:
         fhalf = (
             flow.reshape(b, h // 2, 2, w // 2, 2, 2).mean(axis=(2, 4)) * 0.5

@@ -42,14 +42,18 @@ _CONVENTION = "exact"
 # with supported shapes -- float sources and odd shapes keep the XLA path;
 # "pallas_fused" = same kernel with the fused-residual forward (emits the
 # analytic coordinate derivatives so the backward is elementwise, no
-# re-gather). Set from Config.warp_impl by parallel.train_step.build_model.
-_WARP_IMPL = "xla"
+# re-gather). Set from Config.warp_impl by parallel.train_step.build_model;
+# the MODULE default matches the Config default so model application that
+# bypasses build_model (standalone eval/inference) uses the same sampler as
+# training (round-4 advisor finding). Off-TPU backends fall back to the XLA
+# path inside the sampler regardless.
+_WARP_IMPL = "pallas_fused"
 
 # Extends the Pallas kernel path to bf16 3-channel DATA sources (the
 # scale>=1 photometric image pyramids; call sites declare src_is_data).
-# Module default off; Config.warp_bf16 (default True since round 4,
-# hardware-verified speedup in PERF.md) flips it via set_warp_impl.
-_WARP_BF16 = False
+# Module default matches Config.warp_bf16 (default True since round 4,
+# hardware-verified speedup in PERF.md); build_model overrides it.
+_WARP_BF16 = True
 
 
 def set_warp_impl(impl: str, bf16: bool | None = None) -> None:
