@@ -79,11 +79,14 @@ def main():
     # (models/depth_net.py; exact-parity layouts, PERF.md)
     packed_encoder = bool(int(_os.environ.get("BENCH_PACKED_ENCODER", "0")))
     packed_stem = bool(int(_os.environ.get("BENCH_PACKED_STEM", "0")))
+    # BENCH_WARP_GUARD=0 disables the displacement guard's lax.cond
+    # fallback (Config.warp_guard) to price the guard itself
+    warp_guard = bool(int(_os.environ.get("BENCH_WARP_GUARD", "1")))
     h, w = 256, 832
     cfg = Config(
         img_hw=(h, w), mode=mode, compute_dtype="bfloat16",
         batch_size=batch_size, loss_base_scale=loss_scale,
-        warp_impl=warp_impl, warp_bf16=warp_bf16,
+        warp_impl=warp_impl, warp_bf16=warp_bf16, warp_guard=warp_guard,
         packed_encoder=packed_encoder, packed_stem=packed_stem,
         **({"flow_occ_impl": flow_occ} if flow_occ else {}),
     )

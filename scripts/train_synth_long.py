@@ -114,6 +114,13 @@ def synth_eval(eval_set, flow_fn, disp_fn, do_flow=True, do_depth=True,
     odometry protocol (test.py:135-194), plus the zero-motion baseline
     (identity poses) for reference."""
     epes, epes_noc, epes_dyn, absrel, a1 = [], [], [], [], []
+    # intersection splits (round-5 verdict weak #5): does the flat epe_dyn
+    # come from occluded mover pixels (which no visible-pixel loss can fix)
+    # or from visible mover pixels (a live target for the dyna machinery)?
+    epes_dyn_vis, epes_dyn_occ, epes_occ = [], [], []
+    # per-scene median depth scale factors (round-5 verdict weak #6): test
+    # whether the within-run AbsRel oscillation is eval-scale drift
+    scene_scales, scene_absrel = [], []
     ates, res, ates_zero, res_zero = [], [], [], []
     for s in eval_set:
         img_c = s["img_c"].astype(np.float32) / 255.0
@@ -136,10 +143,20 @@ def synth_eval(eval_set, flow_fn, disp_fn, do_flow=True, do_depth=True,
                 m = inb & s["noc_mask"]
                 if m.any():
                     epes_noc.append(float(err[m].mean()))
+                m = inb & ~s["noc_mask"]
+                if m.any():
+                    epes_occ.append(float(err[m].mean()))
             if "dyn_mask" in s and s["dyn_mask"].any():
                 m = inb & s["dyn_mask"]
                 if m.any():
                     epes_dyn.append(float(err[m].mean()))
+                if "noc_mask" in s:
+                    mv = inb & s["dyn_mask"] & s["noc_mask"]
+                    mo = inb & s["dyn_mask"] & ~s["noc_mask"]
+                    if mv.any():
+                        epes_dyn_vis.append(float(err[mv].mean()))
+                    if mo.any():
+                        epes_dyn_occ.append(float(err[mo].mean()))
 
         if do_depth:
             sigma = np.asarray(disp_fn(img_c[None]))[0, ..., 0]
@@ -150,11 +167,14 @@ def synth_eval(eval_set, flow_fn, disp_fn, do_flow=True, do_depth=True,
             gt_depth = s["depth"]
             m = s["valid"] & (gt_depth > 1e-3) & (gt_depth < 80.0)
             pd, gd = pred_depth[m], gt_depth[m]
-            pd = pd * np.median(gd) / np.median(pd)  # median scaling (test protocol)
+            scale = np.median(gd) / np.median(pd)
+            pd = pd * scale  # median scaling (test protocol)
             pd = np.clip(pd, 1e-3, 80.0)
             errs = compute_errors(gd, pd)
             absrel.append(float(errs[0]))
             a1.append(float(errs[4]))
+            scene_scales.append(float(scale))
+            scene_absrel.append(float(errs[0]))
 
         if pose_fn is not None and "R_bwd" in s:
             img_l = s["img_l"].astype(np.float32) / 255.0
@@ -189,9 +209,17 @@ def synth_eval(eval_set, flow_fn, disp_fn, do_flow=True, do_depth=True,
         out["flow_epe_noc"] = float(np.mean(epes_noc))
     if epes_dyn:
         out["flow_epe_dyn"] = float(np.mean(epes_dyn))
+    if epes_occ:
+        out["flow_epe_occ"] = float(np.mean(epes_occ))
+    if epes_dyn_vis:
+        out["flow_epe_dyn_vis"] = float(np.mean(epes_dyn_vis))
+    if epes_dyn_occ:
+        out["flow_epe_dyn_occ"] = float(np.mean(epes_dyn_occ))
     if absrel:
         out["depth_absrel"] = float(np.mean(absrel))
         out["depth_a1"] = float(np.mean(a1))
+        out["depth_scales"] = [round(s, 4) for s in scene_scales]
+        out["depth_absrel_scenes"] = [round(a, 4) for a in scene_absrel]
     if ates:
         out["pose_ate"] = float(np.mean(ates))
         out["pose_re"] = float(np.mean(res))

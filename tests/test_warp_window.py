@@ -303,3 +303,128 @@ class TestBf16Source:
         finally:
             warp.set_warp_impl("xla", bf16=False)
             warp_window._FORCE_INTERPRET = False
+
+
+class TestDisplacementGuard:
+    """Coverage-violation counter + automatic XLA fallback (VERDICT r4
+    weak #4): KITTI-scale 200-px movers must sample exactly, never through
+    the kernel's window clamp."""
+
+    def test_counter_zero_on_smooth_flow(self):
+        from unsupervised_depth_opticalflow_egomotion_tpu.ops.pallas.warp_window import (
+            warp_coverage_violations,
+        )
+
+        src, ix, iy = _mk(h=64, flow_scale=5.0, dy=20.0, dx=-90.0)
+        h, w = src.shape[1:3]
+        assert int(warp_coverage_violations(ix, iy, h, w)) == 0
+
+    def test_counter_fires_on_200px_horizontal(self):
+        from unsupervised_depth_opticalflow_egomotion_tpu.ops.pallas.warp_window import (
+            warp_coverage_violations,
+        )
+
+        # a 200-px in-frame horizontal mover region (KITTI-2015 fast-mover
+        # scale at 832 width) exceeds the [-128, 255] tile-relative blocks
+        src, ix, iy = _mk(b=1, h=32, w=512, flow_scale=1.0)
+        ix = ix.at[:, :, 300:].add(-200.0)
+        h, w = src.shape[1:3]
+        assert int(warp_coverage_violations(ix, iy, h, w)) > 0
+
+    def test_counter_fires_on_extreme_vertical_band_spread(self):
+        from unsupervised_depth_opticalflow_egomotion_tpu.ops.pallas.warp_window import (
+            warp_coverage_violations,
+        )
+
+        src, ix, iy = _mk(b=1, h=256, w=160, flow_scale=0.0)
+        # one stray row sampling 120 rows below the rest of its band
+        iy = iy.at[:, 5].add(120.0)
+        h, w = src.shape[1:3]
+        assert int(warp_coverage_violations(ix, iy, h, w, win=96)) > 0
+
+    def test_counter_ignores_out_of_frame(self):
+        from unsupervised_depth_opticalflow_egomotion_tpu.ops.pallas.warp_window import (
+            warp_coverage_violations,
+        )
+
+        # far out-of-frame taps carry zero bilinear weight: clamping them
+        # is harmless and must NOT trip the guard
+        src, ix, iy = _mk(b=1, h=32, w=512, flow_scale=1.0)
+        ix = ix.at[:, :, 300:].add(-600.0)  # off the left edge
+        h, w = src.shape[1:3]
+        assert int(warp_coverage_violations(ix, iy, h, w)) == 0
+
+    def _sample_forced(self, src, coords, guard):
+        from unsupervised_depth_opticalflow_egomotion_tpu.ops import warp
+        from unsupervised_depth_opticalflow_egomotion_tpu.ops.pallas import (
+            warp_window,
+        )
+
+        warp.set_warp_impl("pallas_fused", guard=guard)
+        warp_window._FORCE_INTERPRET = True
+        try:
+            return grid_sample_with_weight(src, coords, out_dtype=jnp.float32)
+        finally:
+            warp.set_warp_impl("pallas_fused", guard=True)
+            warp_window._FORCE_INTERPRET = False
+
+    def test_guarded_sampler_exact_on_200px_flow(self):
+        src, ix, iy = _mk(b=1, h=32, w=512, flow_scale=1.0)
+        ix = ix.at[:, :, 300:].add(-200.0)
+        h, w = src.shape[1:3]
+        coords = normalize_coords(jnp.stack([ix, iy], -1), h, w)
+        ref, ref_w = grid_sample_with_weight(src, coords, out_dtype=jnp.float32)
+        out, wsum = self._sample_forced(src, coords, guard=True)
+        # the guard routes to the same XLA gather math; the lax.cond region
+        # fuses differently, so allow float-eps rounding (the unguarded
+        # control below shows the kernel clamp bias is >0.01 -- 5 orders
+        # larger)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-6)
+        np.testing.assert_allclose(np.asarray(wsum), np.asarray(ref_w), atol=1e-6)
+
+    def test_unguarded_kernel_clamps_on_200px_flow(self):
+        # control: with the guard off the kernel path clamps tap values on
+        # the violating region -- the bias the guard exists to prevent
+        src, ix, iy = _mk(b=1, h=32, w=512, flow_scale=1.0)
+        ix = ix.at[:, :, 300:].add(-200.0)
+        h, w = src.shape[1:3]
+        coords = normalize_coords(jnp.stack([ix, iy], -1), h, w)
+        ref, _ = grid_sample_with_weight(src, coords, out_dtype=jnp.float32)
+        out, _ = self._sample_forced(src, coords, guard=False)
+        assert float(jnp.max(jnp.abs(out - ref))) > 0.01
+
+    def test_guarded_sampler_keeps_kernel_on_smooth_flow(self):
+        src, ix, iy = _mk(h=64, flow_scale=5.0, dy=20.0)
+        h, w = src.shape[1:3]
+        coords = normalize_coords(jnp.stack([ix, iy], -1), h, w)
+        ref, ref_w = grid_sample_with_weight(src, coords, out_dtype=jnp.float32)
+        out, wsum = self._sample_forced(src, coords, guard=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+        np.testing.assert_allclose(np.asarray(wsum), np.asarray(ref_w), atol=2e-5)
+
+    def test_guarded_coord_grads_on_violating_flow(self):
+        # gradients must flow through the cond's fallback branch
+        from unsupervised_depth_opticalflow_egomotion_tpu.ops import warp
+        from unsupervised_depth_opticalflow_egomotion_tpu.ops.pallas import (
+            warp_window,
+        )
+
+        src, ix, iy = _mk(b=1, h=32, w=512, flow_scale=1.0)
+        ix = ix.at[:, :, 300:].add(-200.0)
+        h, w = src.shape[1:3]
+
+        def loss_fn(ix_, iy_):
+            coords = normalize_coords(jnp.stack([ix_, iy_], -1), h, w)
+            out, wsum = grid_sample_with_weight(src, coords, out_dtype=jnp.float32)
+            return jnp.sum(out * out) + jnp.sum(wsum)
+
+        gref = jax.grad(loss_fn, argnums=(0, 1))(ix, iy)
+        warp.set_warp_impl("pallas_fused", guard=True)
+        warp_window._FORCE_INTERPRET = True
+        try:
+            gout = jax.grad(loss_fn, argnums=(0, 1))(ix, iy)
+        finally:
+            warp.set_warp_impl("pallas_fused", guard=True)
+            warp_window._FORCE_INTERPRET = False
+        for a, b in zip(gout, gref):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)

@@ -95,6 +95,13 @@ class Config:
     # 3-channel DATA sources (the scale>=1 photometric image pyramids;
     # bf16 bit pairs packed into i32 words, 2 gathers/tap). Hardware win
     # measured in PERF.md round-4; parity in tests/test_warp_window.
+    warp_guard: bool = True  # displacement guard for the windowed kernels
+    # (warp + splat): lax.cond on a cheap coverage-violation count falls
+    # back to the exact XLA sampler/scatter for any step whose motion
+    # exceeds the kernel windows (+-128 px horizontal taps, >win-2 row
+    # vertical band spread) -- extreme flows cost speed, never bias.
+    # Guard predicates: ops/pallas/warp_window.py:warp_coverage_violations,
+    # ops/pallas/splat_window.py:splat_coverage_violations.
     ssim_impl: str = "pallas"  # "xla" | "pallas": SSIM map impl. "pallas" =
     # the fused single-pass fwd+bwd kernel (ops/pallas/ssim_fused.py) on
     # planes where it measures faster (>=128x416; hardware table in PERF.md),

@@ -123,10 +123,17 @@ def occlusion_mask_from_flow(flow: jax.Array, taps: str = "bilinear") -> jax.Arr
     """
     b, h, w, _ = flow.shape
     if taps == "bilinear" and h % 8 == 0 and w >= 128:
-        from .pallas.splat_window import kernel_enabled, splat_mass_window
+        from .pallas.splat_window import (
+            kernel_enabled,
+            splat_mass_window_guarded,
+        )
 
         if kernel_enabled():
-            mass = splat_mass_window(flow, out_dtype=flow.dtype)
+            # guarded: flows beyond the kernel's displacement window fall
+            # back to the exact scatter for that step (cheap lax.cond on
+            # the coverage-violation count) — extreme motion costs speed,
+            # never mass
+            mass = splat_mass_window_guarded(flow, out_dtype=flow.dtype)
             return jax.lax.stop_gradient(jnp.clip(mass, 0.0, 1.0))
     if taps == "nearest_half" and h % 2 == 0 and w % 2 == 0 and h * w > 4096:
         fhalf = (

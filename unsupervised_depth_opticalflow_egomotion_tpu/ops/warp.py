@@ -55,14 +55,28 @@ _WARP_IMPL = "pallas_fused"
 # hardware-verified speedup in PERF.md); build_model overrides it.
 _WARP_BF16 = True
 
+# Displacement guard for the windowed kernel (VERDICT r4 weak #4): when
+# any sample coordinate would hit the kernel's window clamp (taps beyond
+# +-128 px horizontal or a >win-2 row vertical spread within a band), the
+# whole warp lax.cond-falls-back to the exact XLA gather for that step.
+# The violation counter is a cheap VPU reduction (warp_window.
+# warp_coverage_violations); measured clamp rates are ~0 on smooth flows
+# (tests/test_warp_window.py guard tests), so the cond almost always takes
+# the kernel branch. Matches Config.warp_guard.
+_WARP_GUARD = True
 
-def set_warp_impl(impl: str, bf16: bool | None = None) -> None:
-    global _WARP_IMPL, _WARP_BF16
+
+def set_warp_impl(
+    impl: str, bf16: bool | None = None, guard: bool | None = None
+) -> None:
+    global _WARP_IMPL, _WARP_BF16, _WARP_GUARD
     if impl not in ("xla", "pallas", "pallas_fused"):
         raise ValueError(f"unknown warp_impl {impl!r}")
     _WARP_IMPL = impl
     if bf16 is not None:
         _WARP_BF16 = bf16
+    if guard is not None:
+        _WARP_GUARD = guard
 
 
 @contextmanager
@@ -170,79 +184,96 @@ def grid_sample_with_weight_multi(
     if kernel_ok:
         from .pallas.warp_window import (
             kernel_enabled,
+            warp_coverage_violations,
             warp_gather_bf16x3,
             warp_gather_u8rgb,
         )
 
-        results = [] if kernel_enabled() else None
-    else:
-        results = None
-    if results is not None:
-        gather = warp_gather_u8rgb if is_u8 else warp_gather_bf16x3
-        for coords in coords_list:
-            if _CONVENTION == "torch":
-                ix = (coords[..., 0] + 1.0) * 0.5 * w - 0.5
-                iy = (coords[..., 1] + 1.0) * 0.5 * h - 0.5
-            else:
-                ix = (coords[..., 0] + 1.0) * 0.5 * (w - 1)
-                iy = (coords[..., 1] + 1.0) * 0.5 * (h - 1)
-            if ix.shape[1] % 8 or ix.shape[2] != w or w < 128:
-                break  # unsupported output shape: all sets take the XLA path
-            out, wsum = gather(
-                img, ix, iy, out_dtype=dtype,
-                fused=_WARP_IMPL == "pallas_fused",
-            )
-            results.append((out, wsum))
-        else:
-            return results
+        kernel_ok = kernel_enabled()
 
-    # flatten the batch into the gather's row dimension: one [B*N]-row gather
-    # is ~1.8x faster than a batched [B, N] gather on TPU
-    img_flat = img.reshape(b * h * w, c)
-    quad = jnp.concatenate(
-        [
-            img_flat,
-            jnp.roll(img_flat, -1, axis=0),
-            jnp.roll(img_flat, -w, axis=0),
-            jnp.roll(img_flat, -(w + 1), axis=0),
-        ],
-        axis=-1,
-    )
-    batch_off = (jnp.arange(b, dtype=jnp.int32) * (h * w))[:, None]
-
-    # one gather per coordinate set, all against the shared quad table: a
-    # single concatenated gather would stop XLA from fusing the tap-weighting
-    # into the gather fusion, materializing the lane-padded tap tensor
-    # (measured 28.9 -> 16.4 fps on the geom step)
-    results = []
+    # pixel coordinates, shared by both samplers
+    pix = []
     for coords in coords_list:
-        _, ho, wo, _ = coords.shape
         if _CONVENTION == "torch":
             ix = (coords[..., 0] + 1.0) * 0.5 * w - 0.5
             iy = (coords[..., 1] + 1.0) * 0.5 * h - 0.5
         else:
             ix = (coords[..., 0] + 1.0) * 0.5 * (w - 1)
             iy = (coords[..., 1] + 1.0) * 0.5 * (h - 1)
-        ys, wy0, wy1 = _tap_weights(iy, h)
-        xs, wx0, wx1 = _tap_weights(ix, w)
-        base = (ys * w + xs).reshape(b, ho * wo).astype(jnp.int32) + batch_off
-        taps = quad[base.reshape(b * ho * wo)].reshape(b, ho, wo, 4 * c)
-        if is_u8:
-            taps = taps.astype(dtype)
-        wy0 = wy0.astype(dtype)[..., None]
-        wy1 = wy1.astype(dtype)[..., None]
-        wx0 = wx0.astype(dtype)[..., None]
-        wx1 = wx1.astype(dtype)[..., None]
-        s = jnp.asarray(scale, dtype)
-        out = (
-            taps[..., 0 * c : 1 * c] * (wy0 * wx0 * s)
-            + taps[..., 1 * c : 2 * c] * (wy0 * wx1 * s)
-            + taps[..., 2 * c : 3 * c] * (wy1 * wx0 * s)
-            + taps[..., 3 * c : 4 * c] * (wy1 * wx1 * s)
+        pix.append((ix, iy))
+        if ix.shape[1] % 8 or ix.shape[2] != w or w < 128:
+            kernel_ok = False  # unsupported output shape: XLA path
+
+    def _kernel_multi(operands):
+        img_, pix_ = operands
+        gather = warp_gather_u8rgb if is_u8 else warp_gather_bf16x3
+        return [
+            gather(
+                img_, ix, iy, out_dtype=dtype,
+                fused=_WARP_IMPL == "pallas_fused",
+            )
+            for ix, iy in pix_
+        ]
+
+    def _xla_multi(operands):
+        img_, pix_ = operands
+        # flatten the batch into the gather's row dimension: one [B*N]-row
+        # gather is ~1.8x faster than a batched [B, N] gather on TPU
+        img_flat = img_.reshape(b * h * w, c)
+        quad = jnp.concatenate(
+            [
+                img_flat,
+                jnp.roll(img_flat, -1, axis=0),
+                jnp.roll(img_flat, -w, axis=0),
+                jnp.roll(img_flat, -(w + 1), axis=0),
+            ],
+            axis=-1,
         )
-        weight_sum = (wy0 + wy1) * (wx0 + wx1)
-        results.append((out, weight_sum))
-    return results
+        batch_off = (jnp.arange(b, dtype=jnp.int32) * (h * w))[:, None]
+
+        # one gather per coordinate set, all against the shared quad table:
+        # a single concatenated gather would stop XLA from fusing the
+        # tap-weighting into the gather fusion, materializing the
+        # lane-padded tap tensor (measured 28.9 -> 16.4 fps on the geom
+        # step)
+        results = []
+        for ix, iy in pix_:
+            _, ho, wo = ix.shape
+            ys, wy0, wy1 = _tap_weights(iy, h)
+            xs, wx0, wx1 = _tap_weights(ix, w)
+            base = (
+                (ys * w + xs).reshape(b, ho * wo).astype(jnp.int32)
+                + batch_off
+            )
+            taps = quad[base.reshape(b * ho * wo)].reshape(b, ho, wo, 4 * c)
+            if is_u8:
+                taps = taps.astype(dtype)
+            wy0 = wy0.astype(dtype)[..., None]
+            wy1 = wy1.astype(dtype)[..., None]
+            wx0 = wx0.astype(dtype)[..., None]
+            wx1 = wx1.astype(dtype)[..., None]
+            s = jnp.asarray(scale, dtype)
+            out = (
+                taps[..., 0 * c : 1 * c] * (wy0 * wx0 * s)
+                + taps[..., 1 * c : 2 * c] * (wy0 * wx1 * s)
+                + taps[..., 2 * c : 3 * c] * (wy1 * wx0 * s)
+                + taps[..., 3 * c : 4 * c] * (wy1 * wx1 * s)
+            )
+            weight_sum = (wy0 + wy1) * (wx0 + wx1)
+            results.append((out, weight_sum))
+        return results
+
+    if kernel_ok:
+        if not _WARP_GUARD:
+            return _kernel_multi((img, pix))
+        # displacement guard: any tap the kernel would clamp flips the
+        # WHOLE warp to the exact XLA gather for this step (lax.cond on a
+        # cheap violation count) — extreme motion costs speed, never bias
+        viol = sum(
+            warp_coverage_violations(ix, iy, h, w) for ix, iy in pix
+        )
+        return jax.lax.cond(viol == 0, _kernel_multi, _xla_multi, (img, pix))
+    return _xla_multi((img, pix))
 
 
 def grid_sample_with_weight(

@@ -45,7 +45,7 @@ def build_model(cfg: Config) -> JointModel:
     from ..ops.warp import set_warp_impl
 
     set_ssim_impl(cfg.ssim_impl)
-    set_warp_impl(cfg.warp_impl, bf16=cfg.warp_bf16)
+    set_warp_impl(cfg.warp_impl, bf16=cfg.warp_bf16, guard=cfg.warp_guard)
     return JointModel(
         num_scales=cfg.num_scales,
         num_input_frames=cfg.num_input_frames,
