@@ -82,12 +82,17 @@ def main():
     # BENCH_WARP_GUARD=0 disables the displacement guard's lax.cond
     # fallback (Config.warp_guard) to price the guard itself
     warp_guard = bool(int(_os.environ.get("BENCH_WARP_GUARD", "1")))
+    # BENCH_INT8=1 runs the depth encoder's convs in int8 (dynamic-range
+    # quant + STE backward, ops/int8_conv.py); INT8_CONV_IMPL=conv|shift
+    # picks the lowering
+    encoder_int8 = bool(int(_os.environ.get("BENCH_INT8", "0")))
     h, w = 256, 832
     cfg = Config(
         img_hw=(h, w), mode=mode, compute_dtype="bfloat16",
         batch_size=batch_size, loss_base_scale=loss_scale,
         warp_impl=warp_impl, warp_bf16=warp_bf16, warp_guard=warp_guard,
         packed_encoder=packed_encoder, packed_stem=packed_stem,
+        encoder_int8=encoder_int8,
         **({"flow_occ_impl": flow_occ} if flow_occ else {}),
     )
 

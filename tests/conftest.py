@@ -44,6 +44,7 @@ _TIERS = {
     "test_flowpose_model": "quick",
     "test_estimators": "quick",
     "test_splat": "quick",
+    "test_int8_conv": "quick",
     "test_models": "model",
     "test_loss_scale": "model",
     "test_staging": "model",

@@ -77,6 +77,11 @@ class Config:
     packed_stem: bool = False  # (4,4)->(2,2) packed form of the 7x7 s2 stem
     # conv (contract 48 ch/tap into 256 lanes instead of 3 ch/tap into 64;
     # ops/packed_conv.py:pack_kernel_stem). Off until measured.
+    encoder_int8: bool = False  # int8 forwards for the depth encoder convs
+    # (ops/int8_conv.py: dynamic-range quant, int32 accumulate, STE
+    # backward). The v5e MXU's int8 mode is 2x bf16 peak; the conv pool is
+    # the step's largest block (PERF.md r5 decomposition). Off by default
+    # pending the hardware A/B + quality run.
     pwc_corr: str = "fused"  # "xla" | "pallas" | "fused": PWC correlation impl
     # (hardware measurements in PERF.md; "fused" = round-3 channel-major
     # Pallas fwd+bwd kernels, ops/pallas/correlation_fused.py)

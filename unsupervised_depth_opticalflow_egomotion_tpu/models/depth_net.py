@@ -22,6 +22,7 @@ from typing import Any
 import flax.linen as nn
 import jax.numpy as jnp
 
+from ..ops.int8_conv import int8_conv
 from ..ops.interp import upsample2x_bilinear
 from ..ops.packed_conv import (
     depth_to_space,
@@ -52,6 +53,10 @@ class BasicBlock(nn.Module):
     # (= the layer-1 segment, the only lane-starved one). Param names are
     # pinned to the unpacked tree (Conv_0/Conv_1, BatchNorm_0/BatchNorm_1).
     packed: tuple[int, int] | None = None
+    # int8 forward for the convs (ops/int8_conv.py: dynamic-range quant +
+    # STE backward). Param tree pinned to the unpacked nn.Conv naming so
+    # checkpoints move freely between precisions.
+    int8: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -67,32 +72,39 @@ class BasicBlock(nn.Module):
                 dtype=self.dtype,
             )
 
-        def conv(features, stride):
+        def conv(features, stride, x, kernel=3, name=None):
+            if self.int8:
+                k, _ = _ConvParams(
+                    features,
+                    x.shape[-1],
+                    kernel=kernel,
+                    use_bias=False,
+                    kernel_init=kaiming_normal_out,
+                    name=name,
+                )()
+                p = (kernel - 1) // 2
+                return int8_conv(
+                    x.astype(self.dtype), k, (stride, stride), ((p, p), (p, p))
+                )
             return nn.Conv(
                 features,
-                (3, 3),
+                (kernel, kernel),
                 strides=(stride, stride),
-                padding=((1, 1), (1, 1)),
+                padding=(((kernel - 1) // 2,) * 2,) * 2,
                 use_bias=False,
                 kernel_init=kaiming_normal_out,
                 dtype=self.dtype,
-            )
+                name=name,
+            )(x)
 
         residual = x
-        y = conv(self.features, self.stride)(x)
+        y = conv(self.features, self.stride, x, name="Conv_0")
         y = bn()(y)
         y = nn.relu(y)
-        y = conv(self.features, 1)(y)
+        y = conv(self.features, 1, y, name="Conv_1")
         y = bn()(y)
         if self.stride != 1 or x.shape[-1] != self.features:
-            residual = nn.Conv(
-                self.features,
-                (1, 1),
-                strides=(self.stride, self.stride),
-                use_bias=False,
-                kernel_init=kaiming_normal_out,
-                dtype=self.dtype,
-            )(x)
+            residual = conv(self.features, self.stride, x, kernel=1, name="Conv_2")
             residual = bn()(residual)
         return nn.relu(y + residual)
 
@@ -144,12 +156,29 @@ class ResNet18Encoder(nn.Module):
 
     packed_layer1: bool = False
     packed_stem: bool = False
+    # int8 forwards for every encoder conv (ops/int8_conv.py); exclusive
+    # with the packed experiments (both rewrite the same convs)
+    int8: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, img, train: bool):
+        if self.int8 and (self.packed_layer1 or self.packed_stem):
+            raise ValueError("encoder int8 and packed modes are exclusive")
         x = (img - 0.45) / 0.225
-        if self.packed_stem and img.shape[1] % 4 == 0 and img.shape[2] % 4 == 0:
+        if self.int8:
+            k, _ = _ConvParams(
+                64,
+                3,
+                kernel=7,
+                use_bias=False,
+                kernel_init=kaiming_normal_out,
+                name="Conv_0",
+            )()
+            x = int8_conv(
+                x.astype(self.dtype), k, (2, 2), ((3, 3), (3, 3))
+            )
+        elif self.packed_stem and img.shape[1] % 4 == 0 and img.shape[2] % 4 == 0:
             # 7x7 s2 at Cin=3 runs ~3% MXU; the (4,4)->(2,2) packed form
             # contracts 48 channels per tap into 256 lanes (packed_conv.py).
             # Same logical kernel parameter, pinned to nn.Conv's child name.
@@ -185,16 +214,16 @@ class ResNet18Encoder(nn.Module):
             x = depth_to_space_rect(x, 1, 2)
         else:
             for _ in range(2):
-                x = BasicBlock(64, dtype=self.dtype)(x, train)
+                x = BasicBlock(64, int8=self.int8, dtype=self.dtype)(x, train)
         f1 = x
-        x = BasicBlock(128, stride=2, dtype=self.dtype)(x, train)
-        x = BasicBlock(128, dtype=self.dtype)(x, train)
+        x = BasicBlock(128, stride=2, int8=self.int8, dtype=self.dtype)(x, train)
+        x = BasicBlock(128, int8=self.int8, dtype=self.dtype)(x, train)
         f2 = x
-        x = BasicBlock(256, stride=2, dtype=self.dtype)(x, train)
-        x = BasicBlock(256, dtype=self.dtype)(x, train)
+        x = BasicBlock(256, stride=2, int8=self.int8, dtype=self.dtype)(x, train)
+        x = BasicBlock(256, int8=self.int8, dtype=self.dtype)(x, train)
         f3 = x
-        x = BasicBlock(512, stride=2, dtype=self.dtype)(x, train)
-        x = BasicBlock(512, dtype=self.dtype)(x, train)
+        x = BasicBlock(512, stride=2, int8=self.int8, dtype=self.dtype)(x, train)
+        x = BasicBlock(512, int8=self.int8, dtype=self.dtype)(x, train)
         f4 = x
         return (f0, f1, f2, f3, f4)
 
@@ -301,6 +330,7 @@ class DepthNet(nn.Module):
     packed: bool = True
     packed_encoder: bool = False
     packed_stem: bool = False
+    encoder_int8: bool = False
     extra_head_scales: int = 0
     dtype: Any = jnp.float32
 
@@ -313,6 +343,7 @@ class DepthNet(nn.Module):
         features = ResNet18Encoder(
             packed_layer1=self.packed_encoder,
             packed_stem=self.packed_stem,
+            int8=self.encoder_int8,
             dtype=self.dtype,
         )(img, train)
         return DepthDecoder(

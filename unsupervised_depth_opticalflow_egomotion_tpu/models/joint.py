@@ -108,6 +108,7 @@ class JointModel(nn.Module):
     packed_convs: bool = True
     packed_encoder: bool = False
     packed_stem: bool = False
+    encoder_int8: bool = False
     corr_impl: str = "xla"
     # Flow-mode occlusion model: "splat" = forward-splat masks (the scheme
     # the reference defines via transformerFwd but never ships working --
@@ -155,6 +156,7 @@ class JointModel(nn.Module):
             packed=self.packed_convs,
             packed_encoder=self.packed_encoder,
             packed_stem=self.packed_stem,
+            encoder_int8=self.encoder_int8,
             extra_head_scales=self.loss_base_scale,
             dtype=self.dtype,
         )
