@@ -29,6 +29,10 @@
 #include <stdlib.h>
 #include <string.h>
 
+#if defined(__AVX2__)
+#include <immintrin.h>
+#endif
+
 #include <cmath>
 #include <condition_variable>
 #include <csetjmp>
@@ -87,7 +91,8 @@ bool decode_png(const std::vector<uint8_t>& bytes, Image* img,
   pi.format = PNG_FORMAT_BGR;  // libpng expands palette/gray/alpha for us
   img->h = (int)pi.height;
   img->w = (int)pi.width;
-  img->bgr.resize(PNG_IMAGE_SIZE(pi));
+  // +4 slack: the AVX2 resize gathers a dword at the last pixel
+  img->bgr.resize(PNG_IMAGE_SIZE(pi) + 4);
   if (!png_image_finish_read(&pi, nullptr, img->bgr.data(), 0, nullptr)) {
     *err = std::string("png decode: ") + pi.message;
     png_image_free(&pi);
@@ -132,7 +137,8 @@ bool decode_jpeg(const std::vector<uint8_t>& bytes, Image* img,
   jpeg_start_decompress(&cinfo);
   img->h = (int)cinfo.output_height;
   img->w = (int)cinfo.output_width;
-  img->bgr.resize((size_t)img->h * img->w * 3);
+  // +4 slack: the AVX2 resize gathers a dword at the last pixel
+  img->bgr.resize((size_t)img->h * img->w * 3 + 4);
   while ((int)cinfo.output_scanline < img->h) {
     uint8_t* row = img->bgr.data() + (size_t)cinfo.output_scanline * img->w * 3;
     jpeg_read_scanlines(&cinfo, &row, 1);
@@ -215,17 +221,24 @@ bool probe_image(const char* path, int* h, int* w, std::string* err) {
 
 struct Axis {
   std::vector<int> i0, i1;
-  std::vector<int32_t> w0, w1;  // sum = 2048
+  std::vector<int32_t> w0, w1;    // sum = 2048
+  std::vector<int32_t> i0b, i1b;  // byte offsets (i*3) for the SIMD gathers
 };
 
 void build_axis(int src, int dst, Axis* ax) {
-  ax->i0.resize(dst);
-  ax->i1.resize(dst);
-  ax->w0.resize(dst);
-  ax->w1.resize(dst);
+  // pad to the AVX2 lane width; padded entries replicate the last output
+  // column (their stores land in padded row buffers, their gathers stay at
+  // the final source pixel)
+  const int dstv = (dst + 7) & ~7;
+  ax->i0.resize(dstv);
+  ax->i1.resize(dstv);
+  ax->w0.resize(dstv);
+  ax->w1.resize(dstv);
+  ax->i0b.resize(dstv);
+  ax->i1b.resize(dstv);
   const double scale = (double)src / dst;
-  for (int x = 0; x < dst; ++x) {
-    double fx = (x + 0.5) * scale - 0.5;
+  for (int x = 0; x < dstv; ++x) {
+    double fx = ((x < dst ? x : dst - 1) + 0.5) * scale - 0.5;
     int sx = (int)floor(fx);
     double dx = fx - sx;
     if (sx < 0) {
@@ -241,27 +254,41 @@ void build_axis(int src, int dst, Axis* ax) {
     ax->i1[x] = src > 1 ? sx + 1 : sx;
     ax->w0[x] = 2048 - w1;
     ax->w1[x] = w1;
+    ax->i0b[x] = sx * 3;
+    ax->i1b[x] = ax->i1[x] * 3;
   }
 }
 
 // src: [sh, sw, 3] BGR rows starting at src; dst: [dh, dw, 3] written left-to-
 // right or right-to-left (flip) into dst_row pointers.
-void resize_bilinear_bgr(const uint8_t* src, int sh, int sw, uint8_t* dst,
-                         int dh, int dw, bool flip, const Axis& ay,
-                         const Axis& ax) {
-  std::vector<int32_t> row0(dw * 3), row1(dw * 3);
-  for (int y = 0; y < dh; ++y) {
-    const uint8_t* s0 = src + (size_t)ay.i0[y] * sw * 3;
-    const uint8_t* s1 = src + (size_t)ay.i1[y] * sw * 3;
-    // horizontal pass for both contributing source rows
+void resize_bilinear_bgr_scalar(const uint8_t* src, int sh, int sw,
+                                uint8_t* dst, int dh, int dw, bool flip,
+                                const Axis& ay, const Axis& ax) {
+  (void)sh;
+  // 2-slot cache of horizontally-filtered source rows: consecutive output
+  // rows share a contributing source row whenever the vertical scale is
+  // < 2x, so caching cuts the horizontal passes from 2/row to ~scale/row
+  std::vector<int32_t> rowbuf[2] = {std::vector<int32_t>((size_t)dw * 3),
+                                    std::vector<int32_t>((size_t)dw * 3)};
+  int rowid[2] = {-1, -1};
+  auto hpass = [&](int sy, int keep_sy) -> const int32_t* {
+    for (int k = 0; k < 2; ++k)
+      if (rowid[k] == sy) return rowbuf[k].data();
+    const int slot = rowid[0] == keep_sy ? 1 : 0;  // never evict keep_sy
+    const uint8_t* s = src + (size_t)sy * sw * 3;
+    int32_t* r = rowbuf[slot].data();
     for (int x = 0; x < dw; ++x) {
       const int o0 = ax.i0[x] * 3, o1 = ax.i1[x] * 3;
       const int32_t w0 = ax.w0[x], w1 = ax.w1[x];
-      for (int c = 0; c < 3; ++c) {
-        row0[x * 3 + c] = w0 * s0[o0 + c] + w1 * s0[o1 + c];
-        row1[x * 3 + c] = w0 * s1[o0 + c] + w1 * s1[o1 + c];
-      }
+      for (int c = 0; c < 3; ++c)
+        r[x * 3 + c] = w0 * s[o0 + c] + w1 * s[o1 + c];
     }
+    rowid[slot] = sy;
+    return r;
+  };
+  for (int y = 0; y < dh; ++y) {
+    const int32_t* row0 = hpass(ay.i0[y], ay.i1[y]);
+    const int32_t* row1 = hpass(ay.i1[y], ay.i0[y]);
     uint8_t* d = dst + (size_t)y * dw * 3;
     const int64_t wy0 = ay.w0[y], wy1 = ay.w1[y];
     for (int x = 0; x < dw; ++x) {
@@ -272,6 +299,120 @@ void resize_bilinear_bgr(const uint8_t* src, int sh, int sw, uint8_t* dst,
       }
     }
   }
+}
+
+#if defined(__AVX2__)
+// AVX2 resize: identical fixed-point math to the scalar path (11-bit
+// weights, +2^21 round, >>22), so outputs are bit-equal -- the parity tests
+// (tests/test_native_loader.py) pin either path against the Python loader.
+//
+// Layout: per-channel PLANAR int32 row accumulators (the scalar path's
+// interleaved rows defeat 8-lane loads). Horizontal taps come in as dword
+// gathers at the pixel byte offset (decode buffers carry +4 slack so the
+// last pixel's dword stays in bounds); a dword at offset i*3 holds the
+// pixel's b,g,r in its low 3 bytes. The vertical blend is convex with
+// 2048-sum weights, so wy0*r0 + wy1*r1 <= 2048 * (2048*255) < 2^31 and the
+// whole pass stays in 32-bit lanes. Final interleave packs b|g<<8|r<<16 in
+// SIMD and writes 3 bytes/pixel scalar (honoring flip).
+void resize_bilinear_bgr_avx2(const uint8_t* src, int sh, int sw,
+                              uint8_t* dst, int dh, int dw, bool flip,
+                              const Axis& ay, const Axis& ax) {
+  (void)sh;
+  const int dwv = (dw + 7) & ~7;
+  // 2-slot horizontal-row cache, planar [3][dwv] per slot (see the scalar
+  // path for the sharing argument)
+  std::vector<int32_t> rows(6 * (size_t)dwv);
+  int32_t* slots[2][3] = {
+      {rows.data(), rows.data() + dwv, rows.data() + 2 * dwv},
+      {rows.data() + 3 * dwv, rows.data() + 4 * dwv, rows.data() + 5 * dwv}};
+  int rowid[2] = {-1, -1};
+  std::vector<uint32_t> pix(dwv);
+  const __m256i mask255 = _mm256_set1_epi32(0xFF);
+  const __m256i bias = _mm256_set1_epi32(1 << 21);
+  auto hpass = [&](int sy, int keep_sy) -> int32_t* const* {
+    for (int k = 0; k < 2; ++k)
+      if (rowid[k] == sy) return slots[k];
+    const int slot = rowid[0] == keep_sy ? 1 : 0;  // never evict keep_sy
+    const uint8_t* s = src + (size_t)sy * sw * 3;
+    int32_t* const* r = slots[slot];
+    for (int x = 0; x < dw; x += 8) {
+      const __m256i o0 = _mm256_loadu_si256((const __m256i*)&ax.i0b[x]);
+      const __m256i o1 = _mm256_loadu_si256((const __m256i*)&ax.i1b[x]);
+      const __m256i w0 = _mm256_loadu_si256((const __m256i*)&ax.w0[x]);
+      const __m256i w1 = _mm256_loadu_si256((const __m256i*)&ax.w1[x]);
+      const __m256i v0 = _mm256_i32gather_epi32((const int*)s, o0, 1);
+      const __m256i v1 = _mm256_i32gather_epi32((const int*)s, o1, 1);
+      for (int c = 0; c < 3; ++c) {
+        const int shc = 8 * c;
+        const __m256i p0 =
+            _mm256_and_si256(_mm256_srli_epi32(v0, shc), mask255);
+        const __m256i p1 =
+            _mm256_and_si256(_mm256_srli_epi32(v1, shc), mask255);
+        _mm256_storeu_si256(
+            (__m256i*)&r[c][x],
+            _mm256_add_epi32(_mm256_mullo_epi32(w0, p0),
+                             _mm256_mullo_epi32(w1, p1)));
+      }
+    }
+    rowid[slot] = sy;
+    return r;
+  };
+  for (int y = 0; y < dh; ++y) {
+    int32_t* const* r0 = hpass(ay.i0[y], ay.i1[y]);
+    int32_t* const* r1 = hpass(ay.i1[y], ay.i0[y]);
+    const __m256i wy0 = _mm256_set1_epi32(ay.w0[y]);
+    const __m256i wy1 = _mm256_set1_epi32(ay.w1[y]);
+    for (int x = 0; x < dw; x += 8) {
+      __m256i acc[3];
+      for (int c = 0; c < 3; ++c) {
+        const __m256i a = _mm256_loadu_si256((const __m256i*)&r0[c][x]);
+        const __m256i b = _mm256_loadu_si256((const __m256i*)&r1[c][x]);
+        acc[c] = _mm256_srli_epi32(
+            _mm256_add_epi32(
+                _mm256_add_epi32(_mm256_mullo_epi32(wy0, a),
+                                 _mm256_mullo_epi32(wy1, b)),
+                bias),
+            22);
+      }
+      _mm256_storeu_si256(
+          (__m256i*)&pix[x],
+          _mm256_or_si256(acc[0],
+                          _mm256_or_si256(_mm256_slli_epi32(acc[1], 8),
+                                          _mm256_slli_epi32(acc[2], 16))));
+    }
+    uint8_t* d = dst + (size_t)y * dw * 3;
+    for (int x = 0; x < dw; ++x) {
+      const uint32_t v = pix[x];
+      const int xo = flip ? (dw - 1 - x) * 3 : x * 3;
+      d[xo] = (uint8_t)v;
+      d[xo + 1] = (uint8_t)(v >> 8);
+      d[xo + 2] = (uint8_t)(v >> 16);
+    }
+  }
+}
+#endif  // __AVX2__
+
+// 1 = force the scalar path (kds_set_scalar / KDS_NO_AVX2); the in-process
+// toggle exists so tests and the resize bench can A/B both paths.
+int g_force_scalar = -1;  // -1 = uninitialized (read KDS_NO_AVX2 once)
+
+bool use_avx2() {
+#if defined(__AVX2__)
+  if (g_force_scalar < 0) g_force_scalar = getenv("KDS_NO_AVX2") ? 1 : 0;
+  return !g_force_scalar && __builtin_cpu_supports("avx2");
+#else
+  return false;
+#endif
+}
+
+void resize_bilinear_bgr(const uint8_t* src, int sh, int sw, uint8_t* dst,
+                         int dh, int dw, bool flip, const Axis& ay,
+                         const Axis& ax) {
+#if defined(__AVX2__)
+  if (use_avx2())
+    return resize_bilinear_bgr_avx2(src, sh, sw, dst, dh, dw, flip, ay, ax);
+#endif
+  resize_bilinear_bgr_scalar(src, sh, sw, dst, dh, dw, flip, ay, ax);
 }
 
 // ---------------------------------------------------------------------------
@@ -519,6 +660,14 @@ int kds_decode_one(const char* path, int th, int tw, int flip,
     }
   }
   return 0;
+}
+
+// Force (1) / un-force (0) the scalar resize path; returns the previous
+// setting. Lets tests and the bench A/B scalar vs AVX2 in one process.
+int kds_set_scalar(int force) {
+  int prev = g_force_scalar > 0 ? 1 : 0;
+  g_force_scalar = force ? 1 : 0;
+  return prev;
 }
 
 int kds_probe(const char* path, int* h, int* w) {

@@ -136,3 +136,19 @@ def test_threaded_stress(prepared):
     ]
     a, b = run(), run()
     assert a == b and len(a) == 16
+
+
+def test_avx2_scalar_bit_parity(prepared):
+    """The AVX2 resize is the same fixed-point math as the scalar path, so
+    both must produce BIT-IDENTICAL stacks (flip too). Skipped implicitly on
+    non-AVX2 hosts (both calls then take the scalar path)."""
+    path = os.path.join(prepared, "000000.png")
+    for th, tw, flip in [(16, 32, False), (16, 32, True), (17, 31, False),
+                         (90, 50, False), (7, 3, True)]:
+        native_loader.set_scalar_resize(True)
+        try:
+            want = native_loader.decode_one(path, (th, tw), flip)
+        finally:
+            native_loader.set_scalar_resize(False)
+        got = native_loader.decode_one(path, (th, tw), flip)
+        np.testing.assert_array_equal(want, got, err_msg=f"{th}x{tw} flip={flip}")

@@ -91,8 +91,20 @@ def load_lib():
         ctypes.POINTER(ctypes.c_int),
         ctypes.POINTER(ctypes.c_int),
     ]
+    lib.kds_set_scalar.restype = ctypes.c_int
+    lib.kds_set_scalar.argtypes = [ctypes.c_int]
     _lib = lib
     return lib
+
+
+def set_scalar_resize(force: bool) -> bool:
+    """Force (True) / un-force the scalar resize path; returns the previous
+    setting. The AVX2 and scalar paths are bit-identical (same fixed-point
+    math) -- this toggle exists for the parity test and the resize bench."""
+    lib = load_lib()
+    if lib is None:
+        raise RuntimeError("native data service unavailable")
+    return bool(lib.kds_set_scalar(int(force)))
 
 
 def decode_one(path: str, img_hw, flip: bool = False) -> np.ndarray:
