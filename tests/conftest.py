@@ -61,10 +61,17 @@ _TIERS = {
 }
 
 
+_TIER_NAMES = {"quick", "model", "parity", "kernels", "e2e"}
+
+
 def pytest_collection_modifyitems(config, items):
     import pytest
 
     for item in items:
+        # an explicit tier marker on a test/class overrides the module tier
+        # (e.g. a heavy integration test inside a quick-tier module)
+        if any(m.name in _TIER_NAMES for m in item.iter_markers()):
+            continue
         tier = _TIERS.get(item.module.__name__)
         if tier is not None:
             item.add_marker(getattr(pytest.mark, tier))

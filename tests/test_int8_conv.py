@@ -167,3 +167,49 @@ class TestEncoderIntegration:
         enc = ResNet18Encoder(int8=True, packed_layer1=True)
         with pytest.raises(ValueError, match="exclusive"):
             enc.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 128, 3)), True)
+
+
+@pytest.mark.model  # ~80 s full-step compile: model tier, not the quick gate
+class TestTrainStepIntegration:
+    def test_depth_mode_step_with_int8_encoder(self):
+        """encoder_int8 plumbs Config -> build_model -> jitted train step:
+        one depth-mode step runs, loss finite, depth params move."""
+        from unsupervised_depth_opticalflow_egomotion_tpu.config import Config
+        from unsupervised_depth_opticalflow_egomotion_tpu.parallel import (
+            init_state,
+            make_optimizer,
+            make_train_step,
+        )
+
+        h, w = 64, 128
+        cfg = Config(
+            img_hw=(h, w), compute_dtype="float32", batch_size=2,
+            mode="depth", encoder_int8=True,
+        )
+        model, state = init_state(cfg, jax.random.PRNGKey(0))
+        step = make_train_step(model, cfg, make_optimizer(cfg, state.params))
+        rng = np.random.RandomState(0)
+        images = jnp.asarray(rng.rand(2, 3 * h, w, 3).astype(np.float32))
+        K = np.array(
+            [[100.0, 0, w / 2], [0, 100.0, h / 2], [0, 0, 1]], np.float32
+        )
+        K_ms = np.stack(
+            [np.diag([0.5**s, 0.5**s, 1.0]).astype(np.float32) @ K
+             for s in range(3)]
+        )
+        K_inv = np.stack([np.linalg.inv(k) for k in K_ms])
+        batch = (
+            images,
+            jnp.asarray(np.tile(K_ms[None], (2, 1, 1, 1))),
+            jnp.asarray(np.tile(K_inv[None], (2, 1, 1, 1))),
+        )
+        p0 = [
+            np.asarray(x).copy()
+            for x in jax.tree_util.tree_leaves(state.params["depth_net"])
+        ]
+        state, metrics = step(state, batch, jax.random.PRNGKey(1))
+        assert np.isfinite(float(metrics["loss_total"]))
+        p1 = jax.tree_util.tree_leaves(state.params["depth_net"])
+        assert any(
+            not np.allclose(a, np.asarray(b)) for a, b in zip(p0, p1)
+        )
