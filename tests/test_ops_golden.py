@@ -355,3 +355,39 @@ def test_disp_smooth_folded_matches_naive():
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=1e-4, atol=2e-6
         )
+
+
+def test_disp_smooth_normalized_scale_invariant():
+    """normalize=True makes the smoothness term invariant to a global
+    disparity rescale (the scale-drift lever, TRAINING.md r5); with
+    normalize=False the term scales linearly with disparity."""
+    import jax
+
+    from unsupervised_depth_opticalflow_egomotion_tpu.ops import losses as L
+
+    rng = np.random.RandomState(5)
+    img = jnp.asarray(rng.rand(2, 32, 48, 3).astype(np.float32))
+    disps = [
+        jnp.asarray(0.1 + rng.rand(2, 32 // n, 48 // n, 1).astype(np.float32))
+        for n in (1, 2, 4)
+    ]
+    scaled = [d * 7.5 for d in disps]
+
+    base_n = L.disp_smooth_loss(img, disps, normalize=True)
+    scl_n = L.disp_smooth_loss(img, scaled, normalize=True)
+    np.testing.assert_allclose(
+        np.asarray(base_n), np.asarray(scl_n), rtol=1e-5
+    )
+
+    base = L.disp_smooth_loss(img, disps, normalize=False)
+    scl = L.disp_smooth_loss(img, scaled, normalize=False)
+    np.testing.assert_allclose(
+        np.asarray(scl), 7.5 * np.asarray(base), rtol=1e-5
+    )
+
+    # gradients flow through the normalization (it is NOT stop-gradiented,
+    # matching monodepth2)
+    g = jax.grad(lambda d: jnp.sum(L.disp_smooth_loss(img, [d], True)))(
+        disps[0]
+    )
+    assert bool(jnp.all(jnp.isfinite(g))) and float(jnp.max(jnp.abs(g))) > 0

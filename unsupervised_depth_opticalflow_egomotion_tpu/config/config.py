@@ -77,6 +77,11 @@ class Config:
     packed_stem: bool = False  # (4,4)->(2,2) packed form of the 7x7 s2 stem
     # conv (contract 48 ch/tap into 256 lanes instead of 3 ch/tap into 64;
     # ops/packed_conv.py:pack_kernel_stem). Off until measured.
+    depth_smooth_norm: bool = False  # mean-normalized disparity smoothness
+    # (monodepth2-style d/mean(d) before differencing): scale-invariant
+    # smoothness pressure, the lever for the measured scale-drift <-> AbsRel
+    # co-movement (TRAINING.md r5 scale-drift analysis). Off = reference
+    # semantics (model_geometry.py:225-252 has no normalization).
     encoder_int8: bool = False  # int8 forwards for the depth encoder convs
     # (ops/int8_conv.py: dynamic-range quant, int32 accumulate, STE
     # backward). The v5e MXU's int8 mode is 2x bf16 peak; the conv pool is

@@ -109,6 +109,10 @@ class JointModel(nn.Module):
     packed_encoder: bool = False
     packed_stem: bool = False
     encoder_int8: bool = False
+    # mean-normalized disparity smoothness (monodepth2-style): the lever
+    # targeted at the measured scale-drift <-> AbsRel co-movement
+    # (TRAINING.md r5); off = reference semantics
+    depth_smooth_norm: bool = False
     corr_impl: str = "xla"
     # Flow-mode occlusion model: "splat" = forward-splat masks (the scheme
     # the reference defines via transformerFwd but never ships working --
@@ -354,9 +358,9 @@ class JointModel(nn.Module):
         loss_pack = {
             "loss_depth_pixel": L.photometric_loss(img_pyr, rec_l, mask_bwd)
             + L.photometric_loss(img_pyr, rec_r, mask_fwd),
-            "loss_depth_smooth": L.disp_smooth_loss(img, disp)
-            + L.disp_smooth_loss(img_l, disp_l)
-            + L.disp_smooth_loss(img_r, disp_r),
+            "loss_depth_smooth": L.disp_smooth_loss(img, disp, self.depth_smooth_norm)
+            + L.disp_smooth_loss(img_l, disp_l, self.depth_smooth_norm)
+            + L.disp_smooth_loss(img_r, disp_r, self.depth_smooth_norm),
             "loss_depth_ssim": (
                 L.ssim_loss(img_pyr, rec_l, mask_bwd) + L.ssim_loss(img_pyr, rec_r, mask_fwd)
                 if self.enable_depth_ssim
@@ -505,9 +509,9 @@ class JointModel(nn.Module):
                 if self.enable_depth_ssim
                 else zero
             ),
-            "loss_depth_smooth": L.disp_smooth_loss(img, disp)
-            + L.disp_smooth_loss(img_l, disp_l)
-            + L.disp_smooth_loss(img_r, disp_r),
+            "loss_depth_smooth": L.disp_smooth_loss(img, disp, self.depth_smooth_norm)
+            + L.disp_smooth_loss(img_l, disp_l, self.depth_smooth_norm)
+            + L.disp_smooth_loss(img_r, disp_r, self.depth_smooth_norm),
             "loss_depth_consis": (
                 L.depth_consis_loss(pdepth_l, cdepth_l, bwd_mask_tex)
                 + L.depth_consis_loss(pdepth_r, cdepth_r, fwd_mask_tex)

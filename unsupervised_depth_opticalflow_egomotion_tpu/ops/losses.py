@@ -57,7 +57,7 @@ def ssim_loss(imgs, warped, masks) -> jax.Array:
     return jnp.sum(jnp.stack(per_scale, axis=1), axis=1)
 
 
-def disp_smooth_loss(img, disps) -> jax.Array:
+def disp_smooth_loss(img, disps, normalize: bool = False) -> jax.Array:
     """Edge-aware first-order disparity smoothness (:225-252).
 
     Each scale's disp is bilinearly upsampled to the full image resolution
@@ -68,6 +68,15 @@ def disp_smooth_loss(img, disps) -> jax.Array:
     upsampled disp nor its AD chain is ever materialized at full resolution.
     Exactness vs the direct form is pinned by
     tests/test_ops_golden.py::test_disp_smooth_folded_matches_naive.
+
+    ``normalize=True`` divides each scale's disparity by its per-image
+    spatial mean first (monodepth2-style mean-normalized smoothness). The
+    un-normalized term's magnitude rides the network's absolute scale, and
+    the round-5 depth stage measured the eval AbsRel oscillation co-moving
+    with the per-scene median scale factor (corr 0.84 at the run level,
+    TRAINING.md r5 scale-drift analysis) -- this is the targeted lever:
+    it makes the smoothness pressure scale-invariant. Off by default
+    (reference parity).
     """
     h, w = img.shape[1], img.shape[2]
     gx = jnp.mean(jnp.abs(img[:, :, :-1] - img[:, :, 1:]), axis=-1, keepdims=True)
@@ -76,6 +85,8 @@ def disp_smooth_loss(img, disps) -> jax.Array:
     wy = jnp.exp(-gy)
     per_scale = []
     for disp in disps:
+        if normalize:
+            disp = disp / (jnp.mean(disp, axis=(1, 2, 3), keepdims=True) + 1e-7)
         n = h // disp.shape[1]
         if n == 1:
             dgx = jnp.abs(disp[:, :, :-1] - disp[:, :, 1:]) * wx

@@ -65,6 +65,7 @@ def build_model(cfg: Config) -> JointModel:
         packed_encoder=cfg.packed_encoder,
         packed_stem=cfg.packed_stem,
         encoder_int8=cfg.encoder_int8,
+        depth_smooth_norm=cfg.depth_smooth_norm,
         corr_impl=cfg.pwc_corr,
         flow_occ_impl=cfg.flow_occ_impl,
         loss_base_scale=cfg.loss_base_scale,
